@@ -1,0 +1,146 @@
+"""Ruby-strftime (Embulk TimestampFormatter dialect) -> Python/Java translation.
+
+The reference parses timestamps with Ruby-strftime formats, per-column
+timezone and a default date for time-only formats
+(/root/reference FilteredPageOutput.java:130-154, 375-388;
+ExpandJsonFilterPlugin.java:77-83). Embulk is nanosecond-precision; Spark
+TimestampType is microseconds — fractional digits beyond 6 are truncated
+(documented deviation; see SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+import pandas as pd
+
+# Ruby strftime token -> Python strptime token (None = unsupported)
+_RUBY_TO_PY = {
+    "Y": "%Y", "y": "%y", "C": None,
+    "m": "%m", "d": "%d", "e": "%d", "j": "%j",
+    "H": "%H", "k": "%H", "I": "%I", "l": "%I", "p": "%p", "P": "%p",
+    "M": "%M", "S": "%S",
+    "L": "%f",  # milliseconds — %f tolerates 1-6 digits
+    "N": "%f",  # nanoseconds — input pre-trimmed to 6 digits (us truncation)
+    "z": "%z", "Z": "%Z",
+    "A": "%A", "a": "%a", "B": "%B", "b": "%b", "h": "%b",
+    "T": "%H:%M:%S", "F": "%Y-%m-%d", "D": "%m/%d/%y", "R": "%H:%M",
+    "n": "\n", "t": "\t", "%": "%%",
+    "s": None,  # epoch seconds — handled separately if ever needed
+}
+
+_DATE_TOKENS = set("YyCmdejFDxGgUVWuwAaBbh")
+_ZONE_TOKENS = set("zZ")
+
+# Ruby strftime token -> Java DateTimeFormatter pattern (for the Catalyst
+# fast path via try_to_timestamp); None = not expressible -> Arrow path.
+_RUBY_TO_JAVA = {
+    "Y": "yyyy", "y": "yy",
+    "m": "MM", "d": "dd",
+    "H": "HH", "I": "hh", "p": "a",
+    "M": "mm", "S": "ss",
+    "z": "xx",  # +0900 style offset
+    "T": "HH:mm:ss", "F": "yyyy-MM-dd",
+    "%": "%",
+}
+
+
+class UnsupportedTimestampFormat(ValueError):
+    pass
+
+
+def translate_ruby_to_python(fmt: str) -> Tuple[str, bool, bool]:
+    """-> (python_format, has_date, has_zone)."""
+    out = []
+    has_date = False
+    has_zone = False
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c != "%":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= len(fmt):
+            raise UnsupportedTimestampFormat(f"dangling %% in {fmt!r}")
+        tok = fmt[i + 1]
+        # skip Ruby width/flag modifiers like %6N, %-d, %_H, %03N
+        j = i + 1
+        while j < len(fmt) and (fmt[j].isdigit() or fmt[j] in "-_0^#"):
+            j += 1
+        if j < len(fmt):
+            tok = fmt[j]
+        py = _RUBY_TO_PY.get(tok)
+        if py is None:
+            raise UnsupportedTimestampFormat(f"%{tok} in {fmt!r}")
+        out.append(py)
+        if tok in _DATE_TOKENS:
+            has_date = True
+        if tok in _ZONE_TOKENS:
+            has_zone = True
+        i = j + 1
+    return "".join(out), has_date, has_zone
+
+
+def translate_ruby_to_java(fmt: str) -> Optional[str]:
+    """Java DateTimeFormatter pattern for the Catalyst fast path, or None
+    when the format needs the Arrow path (e.g. %N fractional seconds)."""
+    out = []
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c != "%":
+            if c.isalpha():
+                out.append(f"'{c}'")
+            else:
+                out.append(c)
+            i += 1
+            continue
+        if i + 1 >= len(fmt):
+            return None
+        tok = fmt[i + 1]
+        java = _RUBY_TO_JAVA.get(tok)
+        if java is None:
+            return None
+        out.append(java)
+        i += 2
+    return "".join(out)
+
+
+_FRAC_TRIM_RE = re.compile(r"(\.\d{6})\d+")
+
+
+def parse_timestamp_series(
+    values: pd.Series,
+    ruby_format: str,
+    timezone: str,
+    default_date: str,
+) -> Tuple[pd.Series, pd.Series]:
+    """Parse a string Series with reference semantics.
+
+    Returns (utc_timestamps: datetime64[us, UTC], error_mask: bool).
+    Nulls pass through as NaT with error_mask False; unparseable non-null
+    values get error_mask True (-> invalid-record channel).
+    """
+    pyfmt, has_date, has_zone = translate_ruby_to_python(ruby_format)
+    s = values.astype("string")
+    notnull = s.notna()
+    work = s.copy()
+    if "%N" in ruby_format or "%L" in ruby_format:
+        # ns -> us truncation (Embulk is ns-precision, Spark is us)
+        work = work.str.replace(_FRAC_TRIM_RE, lambda m: m.group(1), regex=True)
+    if not has_date:
+        # Embulk default_date fills the date for time-only formats
+        # (ExpandJsonFilterPlugin.java:81-83)
+        work = default_date + " " + work
+        pyfmt = "%Y-%m-%d " + pyfmt
+    parsed = pd.to_datetime(work, format=pyfmt, errors="coerce", utc=has_zone)
+    if not has_zone:
+        parsed = parsed.dt.tz_localize(
+            timezone, ambiguous=True, nonexistent="shift_forward"
+        ).dt.tz_convert("UTC")
+    else:
+        parsed = parsed.dt.tz_convert("UTC")
+    err = notnull & parsed.isna()
+    return parsed, err

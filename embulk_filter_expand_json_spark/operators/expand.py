@@ -1,0 +1,292 @@
+"""The JSON-expansion operator, Spark-first.
+
+Two physical strategies for the same semantics (the reference's data path,
+/root/reference FilteredPageOutput.java:247-418):
+
+1. **Catalyst fast path** — when every JsonPath is *definite* (fields +
+   indexes only) the whole operator compiles to JVM-side expressions:
+   ``get_json_object`` extraction (Jackson — formats floats exactly like the
+   reference's ``String.valueOf``: ``1.2345E7``), ``try_cast`` chains
+   replicating the Java parse-with-fallback rules, ``try_to_timestamp`` +
+   ``to_utc_timestamp`` for naive-time localization, and a
+   ``try_parse_json`` probe for the malformed-document abort. Whole-stage
+   codegen applies; zero Python in the hot path.
+
+2. **Arrow general path** — wildcard / recursive-descent / filter paths run
+   through ``mapInPandas``: JsonPaths compiled once per executor closure
+   (strictly better than the reference's contended global LRU cache,
+   ExpandJsonFilterPlugin.java:210-243), per-batch ``json.loads`` +
+   engine evaluation, then whole-column vectorized casts.
+
+Both paths implement the invalid-record channel: bad rows are *dropped*
+(stop_on_invalid_record=false, counted in ``metrics``) or abort the job
+(true) — FilteredPageOutput.java:247-264.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Iterator, Mapping, Optional, Union
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from embulk_filter_expand_json_spark.functions.casts import (
+    apply_cast,
+    stringify_extracted,
+)
+from embulk_filter_expand_json_spark.functions.jsonpath import (
+    Field,
+    Index,
+    JsonPath,
+    compile_path,
+)
+from embulk_filter_expand_json_spark.functions.timefmt import translate_ruby_to_java
+from embulk_filter_expand_json_spark.plans.expand_plan import (
+    ColumnSpec,
+    DataException,
+    ExpandConfig,
+    ExpandPlan,
+    plan_expansion,
+)
+
+_SIMPLE_FIELD_RE = re.compile(r"[A-Za-z0-9_\-$@]+")
+
+
+def expand_json(
+    df: DataFrame,
+    config: Union[ExpandConfig, Mapping, ExpandPlan],
+    mode: str = "auto",
+    metrics: Optional[dict] = None,
+) -> DataFrame:
+    """Apply the expansion operator. ``mode``: 'auto' (Catalyst when every
+    path allows it, else Arrow), 'catalyst', or 'arrow'.
+
+    ``metrics``: optional dict; if it contains an ``invalid_records``
+    Spark Accumulator it is incremented with dropped-row counts
+    (Arrow path only — the Catalyst path reports via plan filters).
+    """
+    if isinstance(config, ExpandPlan):
+        plan = config
+    else:
+        if isinstance(config, Mapping):
+            config = ExpandConfig.from_dict(config)
+        plan = plan_expansion(config, df.schema)
+
+    compiled = [compile_path(s.json_path) for s in plan.specs]
+    if mode not in ("auto", "catalyst", "arrow"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "catalyst" and not _catalyst_eligible(plan, compiled):
+        raise ValueError(
+            "mode='catalyst' requested but the plan needs the Arrow path "
+            "(indefinite JsonPath or non-translatable timestamp format)"
+        )
+    use_catalyst = mode == "catalyst" or (
+        mode == "auto" and _catalyst_eligible(plan, compiled)
+    )
+    if use_catalyst:
+        return _expand_catalyst(df, plan, compiled)
+    return _expand_arrow(df, plan, metrics)
+
+
+# ---------------------------------------------------------------------------
+# Catalyst fast path
+# ---------------------------------------------------------------------------
+
+def _catalyst_eligible(plan: ExpandPlan, compiled: list) -> bool:
+    for spec, cp in zip(plan.specs, compiled):
+        if not cp.is_definite:
+            return False
+        if spec.type == "timestamp":
+            assert spec.timestamp_format is not None
+            if translate_ruby_to_java(spec.timestamp_format) is None:
+                return False
+    return True
+
+
+def _gjo_path(cp: JsonPath) -> str:
+    parts = ["$"]
+    for s in cp.steps:
+        if isinstance(s, Field):
+            if _SIMPLE_FIELD_RE.fullmatch(s.name):
+                parts.append("." + s.name)
+            else:
+                escaped = s.name.replace("'", "\\'")
+                parts.append(f"['{escaped}']")
+        elif isinstance(s, Index):
+            parts.append(f"[{s.index}]")
+        else:  # pragma: no cover — guarded by _catalyst_eligible
+            raise AssertionError(f"non-definite step {s!r}")
+    return "".join(parts)
+
+
+def _catalyst_cast(ext: Column, spec: ColumnSpec) -> tuple:
+    """-> (value_column, error_condition) replicating the Java casts."""
+    if spec.type == "string":
+        return ext, F.lit(False)
+    if spec.type == "boolean":
+        # Boolean.parseBoolean: 'true' (ci) -> true, anything else -> false
+        val = F.when(ext.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.lower(ext) == F.lit("true")
+        )
+        return val, F.lit(False)
+    if spec.type == "double":
+        val = ext.try_cast("double")
+        return val, ext.isNotNull() & val.isNull()
+    if spec.type == "long":
+        # Long.parseLong with (long) Double.parseDouble fallback
+        # (FilteredPageOutput.java:361-374): '12345e3' -> 12_345_000
+        val = F.coalesce(
+            ext.try_cast("long"), ext.try_cast("double").try_cast("long")
+        )
+        return val, ext.isNotNull() & val.isNull()
+    if spec.type == "json":
+        # JsonParser.parse validation: value must itself be valid JSON
+        return ext, ext.isNotNull() & F.try_parse_json(ext).isNull()
+    if spec.type == "timestamp":
+        assert spec.timestamp_format is not None
+        java_fmt = translate_ruby_to_java(spec.timestamp_format)
+        assert java_fmt is not None
+        has_zone = "%z" in spec.timestamp_format or "%Z" in spec.timestamp_format
+        has_date = any(
+            "%" + t in spec.timestamp_format for t in ("Y", "y", "m", "d", "F", "D", "j")
+        )
+        src = ext
+        if not has_date:
+            src = F.concat(F.lit(spec.date + " "), ext)
+            java_fmt = "yyyy-MM-dd " + java_fmt
+        parsed = F.try_to_timestamp(src, F.lit(java_fmt))
+        if not has_zone:
+            # naive wall-time localized to the column timezone
+            # (FilteredPageOutput.java:130-154)
+            parsed = F.to_utc_timestamp(parsed, spec.timezone)
+        return parsed, ext.isNotNull() & parsed.isNull()
+    raise AssertionError(spec.type)
+
+
+def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFrame:
+    doc = F.col(plan.json_column_name)
+    malformed = doc.isNotNull() & (doc != F.lit("")) & F.try_parse_json(doc).isNull()
+    if plan.malformed_json_policy == "abort":
+        # broken top-level JSON always aborts, like Jayway's
+        # InvalidJsonException escaping the catch list
+        # (FilteredPageOutput.java:257; test :1039-1081)
+        doc_guarded = F.when(
+            malformed,
+            F.raise_error(
+                F.concat(F.lit("Invalid JSON document: "), F.substring(doc, 1, 128))
+            ).cast("string"),
+        ).otherwise(doc)
+        malformed_err = F.lit(False)
+    else:
+        doc_guarded = F.when(malformed, F.lit(None).cast("string")).otherwise(doc)
+        malformed_err = malformed
+
+    values = {}
+    err: Column = malformed_err
+    for spec, cp in zip(plan.specs, compiled):
+        ext = F.get_json_object(doc_guarded, _gjo_path(cp))
+        val, e = _catalyst_cast(ext, spec)
+        values[spec.name] = val
+        err = err | e
+
+    out_cols = []
+    for f in plan.output_schema.fields:
+        if f.name in values:
+            col = values[f.name]
+            if plan.stop_on_invalid_record:
+                col = F.when(
+                    err,
+                    F.raise_error(F.lit("Found an invalid record")).cast(
+                        f.dataType.simpleString()
+                    ),
+                ).otherwise(col)
+            out_cols.append(col.cast(f.dataType).alias(f.name))
+        else:
+            out_cols.append(F.col(f.name))
+
+    if plan.stop_on_invalid_record:
+        return df.select(*out_cols)
+    # invalid-record channel, skip mode: drop the row
+    # (FilteredPageOutput.java:258-262)
+    return df.filter(~err).select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# Arrow general path
+# ---------------------------------------------------------------------------
+
+_BAD_DOC = object()
+
+
+def _expand_arrow(
+    df: DataFrame, plan: ExpandPlan, metrics: Optional[dict] = None
+) -> DataFrame:
+    specs = tuple(plan.specs)
+    json_col = plan.json_column_name
+    stop = plan.stop_on_invalid_record
+    abort_on_malformed = plan.malformed_json_policy == "abort"
+    out_schema = plan.output_schema
+    out_names = [f.name for f in out_schema.fields]
+    expanded_names = {s.name for s in specs}
+    invalid_acc = (metrics or {}).get("invalid_records")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # compile once per executor task — the reference's global path cache
+        # (ExpandJsonFilterPlugin.java:210-243) made redundant by closure init
+        compiled = [compile_path(s.json_path) for s in specs]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            docs = pdf[json_col].tolist()
+            parsed: list = [None] * n
+            malformed_mask = np.zeros(n, dtype=bool)
+            for i, d in enumerate(docs):
+                if d is None or d == "" or d is pd.NA:
+                    continue
+                try:
+                    parsed[i] = json.loads(d)
+                except ValueError:
+                    if abort_on_malformed:
+                        raise DataException(
+                            f"Invalid JSON document: {str(d)[:128]!r}"
+                        )
+                    malformed_mask[i] = True
+            err_total = malformed_mask.copy()
+            out = {}
+            for spec, cp in zip(specs, compiled):
+                vals = [
+                    stringify_extracted(cp.read(p)) if p is not None else None
+                    for p in parsed
+                ]
+                s = pd.Series(vals, index=pdf.index, dtype="object")
+                casted, cerr = apply_cast(
+                    s,
+                    spec.type,
+                    ruby_format=spec.timestamp_format,
+                    timezone=spec.timezone,
+                    default_date=spec.date,
+                )
+                out[spec.name] = casted
+                err_total |= np.asarray(cerr, dtype=bool)
+            if err_total.any():
+                if stop:
+                    raise DataException("Found an invalid record")
+                if invalid_acc is not None:
+                    invalid_acc.add(int(err_total.sum()))
+            res = pd.DataFrame(
+                {
+                    name: (out[name] if name in expanded_names else pdf[name])
+                    for name in out_names
+                }
+            )
+            if err_total.any():
+                res = res[~err_total]
+            yield res
+
+    return df.mapInPandas(fn, out_schema)

@@ -1,0 +1,133 @@
+"""Vectorized cast unit tests — Java semantics pinned by
+FilteredPageOutput.java:342-396 and TestExpandJsonFilterPlugin.java:682-704,
+1084-1130 (exp notation)."""
+
+import pandas as pd
+import pytest
+
+from embulk_filter_expand_json_spark.functions.casts import (
+    apply_cast,
+    java_double_to_string,
+    stringify_extracted,
+)
+
+
+def S(*vals):
+    return pd.Series(list(vals), dtype="object")
+
+
+def test_stringify():
+    assert stringify_extracted(None) is None
+    assert stringify_extracted(True) == "true"
+    assert stringify_extracted(False) == "false"
+    assert stringify_extracted(2) == "2"
+    assert stringify_extracted(4.4) == "4.4"
+    assert stringify_extracted("v") == "v"
+    assert stringify_extracted({"a": 1, "b": [2, 3]}) == '{"a":1,"b":[2,3]}'
+    assert stringify_extracted([1, "x", None]) == '[1,"x",null]'
+
+
+def test_java_double_to_string():
+    # matches Java Double.toString / the reference's String.valueOf
+    assert java_double_to_string(4.4) == "4.4"
+    assert java_double_to_string(5.0) == "5.0"
+    assert java_double_to_string(0.0) == "0.0"
+    assert java_double_to_string(12345000.0) == "1.2345E7"
+    assert java_double_to_string(-1.234e-5) == "-1.234E-5"
+    assert java_double_to_string(0.001) == "0.001"
+    assert java_double_to_string(1e7) == "1.0E7"
+    assert java_double_to_string(float("nan")) == "NaN"
+    assert java_double_to_string(float("inf")) == "Infinity"
+
+
+def test_cast_boolean_lenient():
+    vals, err = apply_cast(S("true", "TRUE", "false", "abcde", None), "boolean")
+    assert list(vals[:4]) == [True, True, False, False]
+    assert vals[4] is pd.NA
+    assert not err.any()
+
+
+def test_cast_long_exact_and_fallback():
+    # testParseNumbersInExponentialNotation (:1084-1130)
+    vals, err = apply_cast(S("2", "1.2345E7", "12.9", "-12.9", None, "abcde"), "long")
+    assert list(vals[:4]) == [2, 12345000, 12, -12]
+    assert vals[4] is pd.NA
+    assert list(err) == [False, False, False, False, False, True]
+
+
+def test_cast_long_big_integers():
+    vals, err = apply_cast(
+        S("9223372036854775807", "-9223372036854775808", "92233720368547758080"),
+        "long",
+    )
+    assert vals[0] == 9223372036854775807
+    assert vals[1] == -9223372036854775808
+    # overflow -> Java falls to (long) Double.parseDouble -> saturates
+    assert vals[2] == 9223372036854775807
+    assert not err.any()
+
+
+def test_cast_double():
+    vals, err = apply_cast(S("4.4", "-1.234E-5", "NaN", "Infinity", "abcde"), "double")
+    assert vals[0] == 4.4
+    assert vals[1] == -1.234e-5
+    assert vals[2] != vals[2]  # NaN
+    assert vals[3] == float("inf")
+    assert list(err) == [False, False, False, False, True]
+
+
+def test_cast_json_validation():
+    # '{}' valid (test :424-488), 'abcde' / '' invalid (test :700-704)
+    vals, err = apply_cast(S('{"a": 1}', "{}", "abcde", "", "5", None), "json")
+    assert vals[0] == '{"a":1}'
+    assert vals[1] == "{}"
+    assert vals[4] == "5"
+    assert list(err) == [False, False, True, True, False, False]
+
+
+def test_cast_timestamp_with_zone():
+    vals, err = apply_cast(
+        S("2014-10-21 04:44:33 +0900", "2014-10-21 04:44:33 +0000", "abcde", None),
+        "timestamp",
+        ruby_format="%Y-%m-%d %H:%M:%S %z",
+        timezone="Asia/Tokyo",
+    )
+    assert str(vals[0]) == "2014-10-20 19:44:33+00:00"
+    assert str(vals[1]) == "2014-10-21 04:44:33+00:00"
+    assert list(err) == [False, False, True, False]
+
+
+def test_cast_timestamp_naive_localized():
+    # testColumnBasedTimezone (:545-587): naive 04:44:33 @Asia/Tokyo
+    # -> 2014-10-20 19:44:33 UTC
+    vals, err = apply_cast(
+        S("2014-10-21 04:44:33"),
+        "timestamp",
+        ruby_format="%Y-%m-%d %H:%M:%S",
+        timezone="Asia/Tokyo",
+    )
+    assert str(vals[0]) == "2014-10-20 19:44:33+00:00"
+    assert not err.any()
+
+
+def test_cast_timestamp_default_format_nanos_truncated():
+    vals, err = apply_cast(
+        S("2014-10-21 04:44:33.123456789 +0000"),
+        "timestamp",
+        ruby_format="%Y-%m-%d %H:%M:%S.%N %z",
+        timezone="UTC",
+    )
+    assert str(vals[0]) == "2014-10-21 04:44:33.123456+00:00"
+    assert not err.any()
+
+
+def test_cast_timestamp_time_only_uses_default_date():
+    vals, err = apply_cast(
+        S("04:44:33"),
+        "timestamp",
+        ruby_format="%H:%M:%S",
+        timezone="UTC",
+        default_date="2016-02-03",
+    )
+    assert str(vals[0]) == "2016-02-03 04:44:33+00:00"
+    assert not err.any()
