@@ -1,0 +1,149 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries:
+- expand_catalyst / expand_arrow: the expansion operator's two physical
+  strategies over the events table (the reference's benchmark workload
+  shape — /root/reference/bench/run.sh: raw JSON lines -> 9 expanded cols).
+- lww_agg / lww_window: the CDC dedup stage on its own.
+- cdc_replay: the full engine — synthesize a change log sized to the SF,
+  replay binlog -> expand -> dedup -> exactly-once MERGE; reports
+  change-events/sec (the BASELINE.json target metric).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32) -> master local[N].
+Extra JSON keys beyond the contract: events_per_sec (cdc replay throughput),
+cpus (parallelism used) — used by scripts/scaling_bench.py for the N vs 4N
+scaling-efficiency evidence recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .appName("bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from embulk_filter_expand_json_spark import expand_json
+    from embulk_filter_expand_json_spark.operators.dedup_lww import lww_dedup
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n_events_tbl = events.count()
+
+    timings: dict = {}
+    extras: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    expand_cfg = {
+        "json_column_name": "props",
+        "expanded_columns": [{"name": "k", "type": "long"}],
+    }
+
+    timed(
+        "expand_catalyst",
+        lambda: expand_json(events, expand_cfg, mode="catalyst").agg(
+            F.sum("k")
+        ).collect(),
+    )
+    timed(
+        "expand_arrow",
+        lambda: expand_json(events, expand_cfg, mode="arrow").agg(
+            F.sum("k")
+        ).collect(),
+    )
+    lww_in = events.select("user_id", "event_id", "event_type", "value")
+    timed(
+        "lww_agg",
+        lambda: lww_dedup(lww_in, key="user_id", order="event_id", strategy="agg")
+        .agg(F.count("*"))
+        .collect(),
+    )
+    timed(
+        "lww_window",
+        lambda: lww_dedup(
+            lww_in, key="user_id", order="event_id", strategy="window"
+        )
+        .agg(F.count("*"))
+        .collect(),
+    )
+
+    # --- full CDC replay, the headline ------------------------------------
+    n_changes = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", str(n_events_tbl * 5)))
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_changes,
+            n_docs=max(n_changes // 20, 100),
+            batch_size=max(n_changes // 8, 1000),
+            seed=42,
+        )
+        log_path = os.path.join(work, "log")
+        write_changes(spark, cfg, log_path)  # setup, not timed
+        pipe = CdcPipeline(
+            spark,
+            log_path,
+            os.path.join(work, "table"),
+            num_buckets=max(cpus, 8),
+            collect_metrics=False,
+        )
+        t0 = time.time()
+        pipe.run()
+        dt = time.time() - t0
+        timings["cdc_replay"] = round(dt, 3)
+        extras["cdc_events"] = n_changes
+        extras["events_per_sec"] = round(n_changes / dt, 1)
+        extras["final_rows"] = pipe.table.read().count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Text-analysis functions for training-data pipelines — all pure Catalyst
+expressions (JVM-side, whole-stage codegen; zero Python in the hot path).
+
+These extend the engine beyond the reference's operator set: a 100 TB
+training-data ingest needs language ID, quality scoring, token counting and
+document fingerprinting next to the CDC apply stage. Each function returns a
+Column usable in any select; `__spark_entry__.py` pairs them with DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: tiny per-language stopword marker sets for the n-gram/stopword heuristic
+#: language-ID. Deterministic and SQL-replicable (the oracle uses the same
+#: lists); a real deployment would swap in fastText — the *plumbing* (pure
+#: column expression, no shuffle) is the point.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "de", "los"],
+}
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Tokens by whitespace split (empty string -> 0)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish upper bound: word pieces + punctuation as separate tokens."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double") / n.cast("double")
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(markers, w)))
+    n = F.size(words)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / n.cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic: long enough, not punctuation-soup, has stopwords.
+    The exact formula is arbitrary; determinism + SQL-parity is the contract."""
+    n_chars = F.length(text)
+    len_score = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(
+        punct_ratio(text) * F.lit(4.0), F.lit(1.0)
+    )
+    stop_score = F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
+    return F.round(
+        (len_score + punct_penalty + stop_score) / F.lit(3.0), 6
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language marker-word hit counts; 'und' (undetermined)
+    when nothing matches."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the case/punct/space
+    normalized text (md5 so the DuckDB oracle can reproduce it bit-exact)."""
+    normalized = F.lower(F.regexp_replace(text, r"[^A-Za-z0-9]+", ""))
+    return F.md5(normalized)
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Array of character n-grams of the normalized text (shingles for
+    MinHash). Pure Catalyst: sequence + transform + substring."""
+    normalized = F.lower(F.regexp_replace(text, r"\s+", " "))
+    length = F.length(normalized)
+    return F.when(length < n, F.array(normalized)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), length - F.lit(n - 1)),
+            lambda i: F.substring(normalized, i, n),
+        )
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.size(words)
+    return F.when(k < n, F.array(F.array_join(words, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - F.lit(n)),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )

@@ -146,7 +146,8 @@ def _catalyst_cast(ext: Column, spec: ColumnSpec) -> tuple:
         return val, ext.isNotNull() & val.isNull()
     if spec.type == "json":
         # JsonParser.parse validation: value must itself be valid JSON
-        return ext, ext.isNotNull() & F.try_parse_json(ext).isNull()
+        # (probe via get_json_object('$') — null only for unparseable text)
+        return ext, ext.isNotNull() & F.get_json_object(ext, "$").isNull()
     if spec.type == "timestamp":
         assert spec.timestamp_format is not None
         java_fmt = translate_ruby_to_java(spec.timestamp_format)
@@ -170,7 +171,12 @@ def _catalyst_cast(ext: Column, spec: ColumnSpec) -> tuple:
 
 def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFrame:
     doc = F.col(plan.json_column_name)
-    malformed = doc.isNotNull() & (doc != F.lit("")) & F.try_parse_json(doc).isNull()
+    # cheap malformed probe: '$' extraction is null only for unparseable
+    # docs; repeated uses collapse via whole-stage-codegen subexpression
+    # elimination (cheaper than a try_parse_json variant build)
+    malformed = (
+        doc.isNotNull() & (doc != F.lit("")) & F.get_json_object(doc, "$").isNull()
+    )
     if plan.malformed_json_policy == "abort":
         # broken top-level JSON always aborts, like Jayway's
         # InvalidJsonException escaping the catch list
@@ -186,10 +192,32 @@ def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFra
         doc_guarded = F.when(malformed, F.lit(None).cast("string")).otherwise(doc)
         malformed_err = malformed
 
+    # single-parse fast path: >=2 *top-level* fields extract through ONE
+    # json_tuple generator (one Jackson parse per row for all of them)
+    # instead of one get_json_object parse per column
+    top_level = [
+        i
+        for i, cp in enumerate(compiled)
+        if len(cp.steps) == 1 and isinstance(cp.steps[0], Field)
+    ]
+    ext_cols: dict = {}
+    if len(top_level) >= 2 and not any(
+        re.fullmatch(r"c\d+", c) for c in df.columns
+    ):
+        names = [compiled[i].steps[0].name for i in top_level]
+        df = df.select(F.col("*"), F.json_tuple(doc_guarded, *names))
+        renames = {}
+        for j, i in enumerate(top_level):
+            renames[f"c{j}"] = f"__ext_{i}"
+            ext_cols[i] = F.col(f"__ext_{i}")
+        df = df.withColumnsRenamed(renames)
+
     values = {}
     err: Column = malformed_err
-    for spec, cp in zip(plan.specs, compiled):
-        ext = F.get_json_object(doc_guarded, _gjo_path(cp))
+    for i, (spec, cp) in enumerate(zip(plan.specs, compiled)):
+        ext = ext_cols.get(i)
+        if ext is None:
+            ext = F.get_json_object(doc_guarded, _gjo_path(cp))
         val, e = _catalyst_cast(ext, spec)
         values[spec.name] = val
         err = err | e

@@ -1,0 +1,184 @@
+"""Training-data operator tests: text functions, dedup family, similarity
+search — planted-duplicate fixtures plus numpy cross-checks."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from embulk_filter_expand_json_spark.functions import text as TX
+from embulk_filter_expand_json_spark.operators.dedup_text import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from embulk_filter_expand_json_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (1, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup of 0
+    (3, "completely different content about database query optimization engines"),
+    (4, "The Quick Brown Fox... jumps over the lazy dog and runs away fast!"),  # norm dup of 0
+    (5, "der hund und die katze sind nicht das problem"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("hi, there!",)], "t string")
+    rows = df.select(
+        TX.whitespace_token_count(F.col("t")).alias("ws"),
+        TX.bpe_ish_token_count(F.col("t")).alias("bpe"),
+    ).collect()
+    assert [r["ws"] for r in rows] == [3, 0, 2]
+    assert [r["bpe"] for r in rows] == [3, 0, 4]  # hi , there !
+
+
+def test_quality_score_bounds_and_ordering(docs_df):
+    rows = docs_df.select("doc_id", TX.quality_score(F.col("text")).alias("q")).collect()
+    scores = {r["doc_id"]: r["q"] for r in rows}
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
+    # English prose with stopwords beats punctuation-heavy variant
+    assert scores[0] >= scores[4]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of the house went to sleep in peace",),
+            ("der hund und die katze sind nicht froh das haus",),
+            ("le chat et la maison des gens dans les rues",),
+            ("xyzzy plugh qwerty",),
+        ],
+        "t string",
+    )
+    rows = df.select(TX.lang_id(F.col("t")).alias("l")).collect()
+    assert [r["l"] for r in rows] == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_normalization(docs_df):
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs_df.select(
+            "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[0] == fps[1] == fps[4]  # case/punct-insensitive
+    assert fps[0] != fps[2]
+    assert fps[0] != fps[3]
+
+
+def test_char_ngrams(spark):
+    row = spark.createDataFrame([("abcdef",)], "t string").select(
+        TX.char_ngrams(F.col("t"), 3).alias("g")
+    ).collect()[0]
+    assert row["g"] == ["abc", "bcd", "cde", "def"]
+
+
+def test_exact_dedup(docs_df):
+    kept = exact_dedup(docs_df).collect()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    assert kept_ids == [0, 2, 3, 5]  # 1 and 4 are dups of 0 (min id kept)
+    groups = exact_dup_groups(docs_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 1, 4]
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    pairs = minhash_lsh_pairs(
+        docs_df, num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found  # exact dup -> jaccard 1.0
+    assert (0, 2) in found  # one-word change -> high jaccard
+    assert all(3 not in p and 5 not in p for p in found)
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert est[(0, 1)] == 1.0
+    assert est[(0, 2)] >= 0.5
+
+
+def test_ngram_jaccard_verify(docs_df, spark):
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, cand, threshold=0.0).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert 0.5 < out[(0, 2)] < 1.0
+    assert out[(0, 3)] < 0.1
+
+
+def test_simhash_near_dups(docs_df):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs_df).collect()}
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    # short docs are noisy: one changed word of 13 flips ~8 bits, so use a
+    # threshold that separates the near-dup (hamming 8) from unrelated (36)
+    pairs = simhash_near_dup_pairs(docs_df, max_hamming=10).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found[(0, 1)] == 0
+    assert found[(0, 2)] == 8
+    assert (0, 3) not in found
+
+
+# ------------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(emb_df):
+    rows = emb_df.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = mat[0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -np.round(cos, 6)))
+    want = list(ids[order][:10])
+    got = [r["vec_id"] for r in cosine_topk(emb_df, list(q), k=10).collect()]
+    assert got == want
+    assert got[0] == 0  # query vector itself
+
+
+def test_lsh_topk_recall(emb_df):
+    # the synthetic embeddings are near-random (best non-self cosine ~0.33),
+    # the worst case for LSH — true neighbors are barely more co-hashed than
+    # anyone else. The contract here: the strong-signal match (the query
+    # vector itself, cosine 1.0) is ALWAYS found, and recall stays above the
+    # measured deterministic floor for this data/seed.
+    rows = emb_df.limit(1).collect()
+    q = list(rows[0]["embedding"])
+    exact = {r["vec_id"] for r in cosine_topk(emb_df, q, k=10).collect()}
+    approx_rows = lsh_topk(emb_df, q, k=10, n_bits=4, n_probes=8).collect()
+    approx = {r["vec_id"] for r in approx_rows}
+    assert approx_rows[0]["vec_id"] == 0 and approx_rows[0]["cosine"] == 1.0
+    recall = len(exact & approx) / 10
+    assert recall >= 0.3
+
+
+def test_embedding_near_dup_pairs(spark, emb_df):
+    # plant an exact duplicate vector with a new id
+    dup = emb_df.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    df = emb_df.unionByName(dup)
+    dim = len(emb_df.first()["embedding"])
+    pairs = embedding_near_dup_pairs(df, dim=dim, threshold=0.999).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1_000_000) in found
