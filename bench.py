@@ -36,7 +36,17 @@ def main() -> None:
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        # ParallelGC: G1 contends at 32 allocation-heavy threads in one JVM
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # shuffle scratch on tmpfs when present (single shared ext4 disk
+        # otherwise throttles shuffle-heavy stages)
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-bench"
+            if os.path.isdir("/dev/shm")
+            else "/tmp/spark-bench",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -101,7 +111,10 @@ def main() -> None:
 
     # --- full CDC replay, the headline ------------------------------------
     n_changes = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", str(n_events_tbl * 5)))
-    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    work = tempfile.mkdtemp(
+        prefix="bench_cdc_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
     try:
         cfg = ChangeGenConfig(
             n_events=n_changes,

@@ -19,6 +19,15 @@ identical results (tested against each other and the DuckDB oracle):
                  the true last writer wins its salt group, then the final
                  window. Use when a window (not agg) is required but keys
                  are skewed.
+- ``keyjoin``  — min-shuffle variant for WIDE rows (token arrays): only
+                 (key, offset) pairs — ~16 bytes/row — go through the
+                 group-by shuffle; the winning full rows are then selected
+                 by an equi-join on (key, offset), which AQE turns into a
+                 broadcast hash join whenever the winner set is small, so
+                 the wide payload never shuffles at all. Order-of-magnitude
+                 fewer shuffle bytes than ``agg``/``window`` when the
+                 payload dominates row width — the default for the CDC
+                 pipeline.
 """
 
 from __future__ import annotations
@@ -54,6 +63,14 @@ def lww_dedup(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+
+    if strategy == "keyjoin":
+        # explicit broadcast: the winner set is (key, offset) pairs — tiny
+        # next to the wide rows. Without the hint AQE may pick a sort-merge
+        # join and shuffle the wide side, defeating the whole point. For
+        # winner sets too big to broadcast, use strategy='agg' instead.
+        winners = df.groupBy(key).agg(F.max(order).alias(order))
+        return df.join(F.broadcast(winners), on=[key, order], how="left_semi")
 
     if strategy == "salted":
         salt = F.pmod(F.xxhash64(F.col(order)), F.lit(salt_buckets))

@@ -83,6 +83,7 @@ class CdcPipeline:
         num_buckets: int = 16,
         auto_evolve: bool = True,
         collect_metrics: bool = True,
+        bucket_scan_threshold: int = 256,
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -92,6 +93,10 @@ class CdcPipeline:
         self.lww_strategy = lww_strategy
         self.auto_evolve = auto_evolve
         self.collect_metrics = collect_metrics
+        #: epochs smaller than num_buckets * threshold rows get an exact
+        #: touched-bucket scan (file pruning); larger ones rewrite all
+        #: buckets (they touch essentially every bucket anyway)
+        self.bucket_scan_threshold = bucket_scan_threshold
         self.offsets_log = os.path.join(table_path, "_checkpoints", "offsets.jsonl")
         if not self.table.exists():
             self.table.create(SEQUENCES_SCHEMA, key=key, num_buckets=num_buckets)
@@ -116,22 +121,17 @@ class CdcPipeline:
         return ExpandConfig(
             json_column_name="payload",
             expanded_columns=tuple(cols),
-            # payload kept through dedup so new-key detection + post-hoc
-            # extraction of evolved columns run on the (small) deduped set
-            keep_expanding_json_column=True,
+            keep_expanding_json_column=False,
             stop_on_invalid_record=False,
             malformed_json_policy="invalid_record",
         )
 
-    def _detect_new_keys(self, deduped: DataFrame) -> List[str]:
-        """Top-level payload keys not yet in the table schema (additive
-        evolution trigger). JVM-side json_object_keys + explode + distinct —
-        run over the *deduped survivors* (the rows that will actually be
-        applied), which is both cheaper than a full-slice scan and the right
-        semantics: only applied data evolves the schema."""
+    def _scan_new_keys(self, changes: DataFrame) -> List[str]:
+        """Exact new-key set — only run on the rare epoch where the
+        observation flag fired (schema drift)."""
         known = set(self.table.schema().fieldNames()) | _BASE_KEYS
         rows = (
-            deduped.select(
+            changes.select(
                 F.explode_outer(F.json_object_keys("payload")).alias("k")
             )
             .filter(F.col("k").isNotNull())
@@ -139,6 +139,23 @@ class CdcPipeline:
             .collect()
         )
         return sorted({r["k"] for r in rows} - known)
+
+    def _scan_buckets(self, changes: DataFrame, num_buckets: int) -> List[int]:
+        """Exact touched-bucket set for *small* epochs (MERGE file pruning).
+        Large epochs touch essentially every bucket, so the pipeline skips
+        this scan and rewrites all buckets — the realistic CoW behavior."""
+        rows = (
+            changes.select(
+                F.pmod(
+                    F.xxhash64(F.get_json_object("payload", "$.doc_id")),
+                    F.lit(num_buckets),
+                ).alias("b")
+            )
+            .filter(F.col("b").isNotNull())
+            .distinct()
+            .collect()
+        )
+        return [r["b"] for r in rows]
 
     # ---------------------------------------------------------- epoch apply
     def apply_epoch(self, epoch: int) -> EpochMetrics:
@@ -154,81 +171,121 @@ class CdcPipeline:
             F.col("epoch") == epoch
         )
 
-        # columns evolved by PREVIOUS epochs come from the table schema and
-        # are expanded in the main pass
+        num_buckets = self.table.manifest()["num_buckets"]
+        # parquet metadata count — decides whether exact bucket pruning is
+        # worth a scan (small epoch) or every bucket is touched anyway
+        n_rows = changes.count()
+        if n_rows < num_buckets * self.bucket_scan_threshold:
+            buckets: Optional[List[int]] = self._scan_buckets(
+                changes, num_buckets
+            )
+        else:
+            buckets = list(range(num_buckets))
+
+        # ---- single-pass epoch: every side-aggregate (schema-drift flag,
+        # offset range, invalid/dedup counts) rides the ONE write action via
+        # CollectMetrics (DataFrame.observe) — no extra scans, no caching.
+        result = self._run_merge(changes, epoch, buckets, m)
+        if result.get("aborted"):
+            # rare path: an unknown payload key appeared in this epoch.
+            # The write was discarded pre-publish; evolve additively and
+            # redo the epoch with the extended expansion config.
+            new_keys = self._scan_new_keys(changes)
+            if new_keys:
+                self.table.evolve_add_columns(
+                    [T.StructField(k, T.StringType(), True) for k in new_keys]
+                )
+                m.evolved_columns = new_keys
+            result = self._run_merge(
+                changes, epoch, buckets, m, detect_drift=False
+            )
+        m.skipped = result.get("skipped", False)
+        m.buckets_touched = result.get("buckets_touched", 0)
+        m.wall_sec = time.time() - t0
+        self._append_lineage(m)
+        return m
+
+    def _run_merge(
+        self,
+        changes: DataFrame,
+        epoch: int,
+        buckets: Optional[List[int]],
+        m: EpochMetrics,
+        detect_drift: bool = True,
+    ) -> dict:
+        from pyspark.sql import Observation
+
         extra_cols = [
             f.name for f in self.table.schema().fields if f.name not in _BASE_KEYS
         ]
+        known_arr = F.array(
+            *[F.lit(k) for k in sorted(_BASE_KEYS | set(extra_cols))]
+        )
+
+        obs_in = Observation()
+        in_aggs = [
+            F.count(F.lit(1)).alias("rows_in"),
+            F.min(self.order).alias("lo"),
+            F.max(self.order).alias("hi"),
+        ]
+        if detect_drift and self.auto_evolve:
+            unknown = F.size(
+                F.array_except(F.json_object_keys("payload"), known_arr)
+            )
+            in_aggs.append(
+                F.max(F.when(unknown > 0, 1).otherwise(0)).alias("drift")
+            )
+        observed = changes.observe(obs_in, *in_aggs)
 
         cfg = self._expand_config(extra_cols)
-        expanded = expand_json(changes, cfg, mode="auto")
+        expanded = expand_json(observed, cfg, mode="auto")
         # JSON-text tokens -> array<int32>; a non-array here would have
         # already been dropped by the json-cast invalid channel
         typed = expanded.select(
             F.col(self.order),
             F.col("op"),
-            F.col("payload"),
             F.col("doc_id"),
             F.from_json("tokens", T.ArrayType(T.IntegerType())).alias("tokens"),
             F.col("n_tok").cast("int").alias("n_tok"),
             F.col("source"),
             *[F.col(c) for c in extra_cols],
         ).filter(F.col("doc_id").isNotNull())
+        obs_valid = Observation()
+        typed = typed.observe(obs_valid, F.count(F.lit(1)).alias("valid"))
 
-        cached = lww_dedup(
+        deduped = lww_dedup(
             typed, key=self.key, order=self.order, strategy=self.lww_strategy
-        ).cache()
-        deduped = cached
-        try:
-            if self.auto_evolve:
-                # THIS epoch's brand-new keys: detected on the deduped
-                # survivors, values pulled post-hoc from the kept payload
-                new_keys = self._detect_new_keys(deduped)
-                if new_keys:
-                    self.table.evolve_add_columns(
-                        [T.StructField(k, T.StringType(), True) for k in new_keys]
-                    )
-                    m.evolved_columns = new_keys
-                    for k in new_keys:
-                        deduped = deduped.withColumn(
-                            k, F.get_json_object("payload", f"$.{k}")
-                        )
-            deduped = deduped.drop("payload")
-            if self.collect_metrics:
-                agg = changes.select(
-                    F.count("*").alias("rows_in"),
-                    F.min(self.order).alias("lo"),
-                    F.max(self.order).alias("hi"),
-                ).collect()[0]
-                m.rows_in = agg["rows_in"]
-                m.start_offset = agg["lo"]
-                m.end_offset = agg["hi"]
-                by_op = {
-                    r["op"]: r["n"]
-                    for r in deduped.groupBy("op")
-                    .agg(F.count("*").alias("n"))
-                    .collect()
-                }
-                m.deletes = by_op.get("D", 0)
-                m.upserts = sum(v for k, v in by_op.items() if k != "D")
-                valid = typed.count()
-                m.invalid = m.rows_in - valid
-                m.dedup_dropped = valid - (m.deletes + m.upserts)
+        )
+        obs_out = Observation()
+        deduped = deduped.observe(
+            obs_out,
+            F.count(F.lit(1)).alias("n_out"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
+        )
 
-            result = self.table.merge(
-                deduped.withColumn("__del", F.col("op") == "D").drop(
-                    "op", self.order
-                ),
-                epoch=epoch,
-                delete_col="__del",
-            )
-            m.skipped = result.get("skipped", False)
-            m.buckets_touched = result.get("buckets_touched", 0)
-        finally:
-            cached.unpersist()
-        m.wall_sec = time.time() - t0
-        self._append_lineage(m)
-        return m
+        def pre_commit() -> bool:
+            vals = obs_in.get
+            if self.collect_metrics:
+                m.rows_in = vals["rows_in"]
+                m.start_offset = vals["lo"]
+                m.end_offset = vals["hi"]
+                valid = obs_valid.get["valid"]
+                out = obs_out.get
+                m.deletes = out["deletes"] or 0
+                m.upserts = (out["n_out"] or 0) - m.deletes
+                m.invalid = vals["rows_in"] - valid
+                m.dedup_dropped = valid - (out["n_out"] or 0)
+            return not (detect_drift and self.auto_evolve and vals.get("drift", 0))
+
+        return self.table.merge(
+            deduped.withColumn("__del", F.col("op") == "D").drop(
+                "op", self.order
+            ),
+            epoch=epoch,
+            delete_col="__del",
+            affected_buckets=buckets,
+            pre_commit=pre_commit,
+        )
 
     # ------------------------------------------------------------------ run
     def available_epochs(self) -> List[int]:

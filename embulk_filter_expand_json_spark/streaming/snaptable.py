@@ -71,11 +71,16 @@ class SnapTable:
     def exists(self) -> bool:
         return bool(self._versions())
 
-    def manifest(self) -> dict:
+    def manifest(self, version: Optional[int] = None) -> dict:
         versions = self._versions()
         if not versions:
             raise FileNotFoundError(f"SnapTable at {self.path} does not exist")
-        with open(os.path.join(self.log_dir, f"v{versions[-1]:08d}.json")) as f:
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise FileNotFoundError(
+                f"version {v} not in snapshot log (have {versions[0]}..{versions[-1]})"
+            )
+        with open(os.path.join(self.log_dir, f"v{v:08d}.json")) as f:
             return json.load(f)
 
     def _publish(self, man: dict) -> int:
@@ -141,8 +146,11 @@ class SnapTable:
         return True
 
     # ----------------------------------------------------------------- read
-    def read(self) -> DataFrame:
-        man = self.manifest()
+    def read(self, version: Optional[int] = None) -> DataFrame:
+        """Current state, or time-travel to any retained snapshot version
+        (every manifest is immutable; old data files are never deleted
+        except by expire_snapshots-style GC, not implemented here)."""
+        man = self.manifest(version)
         schema = T.StructType.fromJson(man["schema"])
         paths = [os.path.join(self.path, f["path"]) for f in man["files"]]
         if not paths:
@@ -163,6 +171,8 @@ class SnapTable:
         epoch: int,
         delete_col: Optional[str] = None,
         extra_properties: Optional[dict] = None,
+        affected_buckets: Optional[List[int]] = None,
+        pre_commit=None,
     ) -> dict:
         """MERGE INTO: upsert deltas by key, delete rows where delete_col.
 
@@ -170,6 +180,13 @@ class SnapTable:
         schema's columns (missing ones are null-filled); one row per key
         (run lww_dedup first). Returns a lineage dict; re-applying an
         epoch <= last_committed_epoch is a recorded no-op (exactly-once).
+
+        ``pre_commit``: optional callable invoked AFTER the data write but
+        BEFORE the manifest publish. Returning False aborts the commit (the
+        written files become unreferenced orphans, exactly like a crash
+        between write and publish) and merge returns {"aborted": True}.
+        Used by the pipeline's observation-driven schema evolution: a new
+        payload key detected during the write aborts, evolves, and redoes.
         """
         man = self.manifest()
         if epoch <= man["last_committed_epoch"]:
@@ -196,10 +213,19 @@ class SnapTable:
             bucket_of.alias("__bucket"),
         )
 
-        # which buckets does this epoch touch? (small: <= num_buckets rows)
-        affected = sorted(
-            r[0] for r in aligned.select("__bucket").distinct().collect()
-        )
+        # which buckets does this epoch touch? (small: <= num_buckets rows).
+        # Callers may pass a precomputed SUPERSET (e.g. from a cheap raw-key
+        # scan before dedup) so the delta plan executes exactly once in the
+        # write job instead of being cached/materialized twice — a bucket
+        # with no delta rows is rewritten with identical content (correct,
+        # mildly wasteful, and with uniform key hashing the superset is
+        # almost always exact).
+        if affected_buckets is not None:
+            affected = sorted(affected_buckets)
+        else:
+            affected = sorted(
+                r[0] for r in aligned.select("__bucket").distinct().collect()
+            )
         old_files = [f for f in man["files"] if f["bucket"] in set(affected)]
         keep_files = [f for f in man["files"] if f["bucket"] not in set(affected)]
 
@@ -243,6 +269,13 @@ class SnapTable:
                         }
                     )
 
+        if pre_commit is not None and not pre_commit():
+            return {
+                "epoch": epoch,
+                "aborted": True,
+                "orphaned_dir": commit_rel,
+            }
+
         man["files"] = keep_files + new_files
         man["last_committed_epoch"] = epoch
         man["version"] += 1
@@ -256,4 +289,52 @@ class SnapTable:
             "buckets_touched": len(affected),
             "files_rewritten": len(old_files),
             "files_written": len(new_files),
+        }
+
+    # --------------------------------------------------------- maintenance
+    def compact(self, target_files_per_bucket: int = 1) -> dict:
+        """Bin-pack maintenance: rewrite every bucket down to
+        target_files_per_bucket files (the moral equivalent of Iceberg's
+        rewrite_data_files). State is unchanged; a new snapshot version is
+        published so time-travel to pre-compaction versions still works."""
+        man = self.manifest()
+        schema = T.StructType.fromJson(man["schema"])
+        key = man["key"]
+        num_buckets = man["num_buckets"]
+        if not man["files"]:
+            return {"compacted": False, "reason": "empty table"}
+        df = self._read_files(man["files"], schema).withColumn(
+            "__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets))
+        )
+        commit_rel = os.path.join(
+            "data", f"compact{man['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        commit_dir = os.path.join(self.path, commit_rel)
+        (
+            df.repartition(num_buckets * target_files_per_bucket, "__bucket")
+            .sortWithinPartitions(key)
+            .write.mode("errorifexists")
+            .partitionBy("__bucket")
+            .parquet(commit_dir)
+        )
+        new_files = []
+        for name in sorted(os.listdir(commit_dir)):
+            if not name.startswith("__bucket="):
+                continue
+            b = int(name.split("=", 1)[1])
+            bdir = os.path.join(commit_dir, name)
+            for part in sorted(os.listdir(bdir)):
+                if part.endswith(".parquet"):
+                    new_files.append(
+                        {"path": os.path.join(commit_rel, name, part), "bucket": b}
+                    )
+        old_count = len(man["files"])
+        man["files"] = new_files
+        man["version"] += 1
+        self._publish(man)
+        return {
+            "compacted": True,
+            "files_before": old_count,
+            "files_after": len(new_files),
+            "version": man["version"],
         }

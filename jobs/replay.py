@@ -1,0 +1,74 @@
+"""spark-submit entrypoint for the CDC replay job (north_rule launch mode).
+
+    python scripts/package_pyfiles.py                       # -> dist/engine.zip
+    spark-submit --master local[32] \
+        --py-files dist/engine.zip jobs/replay.py \
+        --changes /path/to/changelog --table /path/to/table \
+        [--max-epochs N] [--strategy agg|window|salted] [--num-buckets 64]
+
+The script is deliberately thin: argument parsing + session construction;
+all engine logic lives in the package shipped via --py-files (the analog of
+the reference's plugin-jar distribution through the Embulk framework).
+Exit code 0 only if every requested epoch committed; re-running after any
+failure resumes from the checkpointed offset (exactly-once).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="CDC binlog replay -> lake upsert")
+    ap.add_argument("--changes", required=True, help="change-log parquet root")
+    ap.add_argument("--table", required=True, help="SnapTable root path")
+    ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument(
+        "--strategy", default="agg", choices=["agg", "window", "salted"]
+    )
+    ap.add_argument("--num-buckets", type=int, default=64)
+    ap.add_argument("--no-evolve", action="store_true")
+    ap.add_argument("--quiet-metrics", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("cdc-replay")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(
+        spark,
+        changes_path=args.changes,
+        table_path=args.table,
+        lww_strategy=args.strategy,
+        num_buckets=args.num_buckets,
+        auto_evolve=not args.no_evolve,
+        collect_metrics=not args.quiet_metrics,
+    )
+    metrics = pipe.run(max_epochs=args.max_epochs)
+    for m in metrics:
+        print(m.to_json())
+    print(
+        json.dumps(
+            {
+                "epochs_applied": len([m for m in metrics if not m.skipped]),
+                "last_committed_epoch": pipe.last_committed_epoch(),
+                "final_rows": pipe.table.read().count(),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -99,9 +99,12 @@ def test_lww_strategies_agree(spark, changes_path):
             (r["doc_id"], r["log_offset"], r["op"])
             for r in lww_dedup(df, strategy=s).collect()
         )
-        for s in ("agg", "window", "salted")
+        for s in ("agg", "window", "salted", "keyjoin")
     }
-    assert results["agg"] == results["window"] == results["salted"]
+    assert (
+        results["agg"] == results["window"] == results["salted"]
+        == results["keyjoin"]
+    )
     # each key appears exactly once and carries its max offset
     by_key = {}
     for r in df.collect():
@@ -260,7 +263,7 @@ def test_replay_idempotent_epoch_skip(spark, tmp_path, changes_path):
     assert m.skipped
 
 
-@pytest.mark.parametrize("strategy", ["window", "salted"])
+@pytest.mark.parametrize("strategy", ["window", "salted", "agg"])
 def test_pipeline_all_lww_strategies_match_oracle(
     spark, tmp_path, changes_path, strategy
 ):

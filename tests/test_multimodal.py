@@ -1,0 +1,70 @@
+"""Multimodal plumbing tests: binary columns + metadata through
+Arrow-batched stages with the deterministic fake decoder."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from embulk_filter_expand_json_spark.operators.multimodal import (
+    frame_sample_plan,
+    image_features,
+    resize_images,
+    synthetic_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthetic_media(spark, n=30, seed=7).cache()
+
+
+def test_synthetic_media_deterministic(spark):
+    a = synthetic_media(spark, n=10, seed=7).collect()
+    b = synthetic_media(spark, n=10, seed=7).collect()
+    assert a == b
+    assert all(isinstance(r["data"], (bytes, bytearray)) for r in a)
+
+
+def test_image_features_shapes_and_determinism(media):
+    feats = image_features(media, decoder="fake").orderBy("media_id").collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert 0 <= r["mean_intensity"] <= 255
+        assert r["std_intensity"] >= 0
+        assert r["p99_intensity"] <= 255
+        assert r["aspect_ratio"] > 0
+    again = image_features(media, decoder="fake").orderBy("media_id").collect()
+    assert feats == again
+
+
+def test_image_features_null_propagation(spark):
+    df = synthetic_media(spark, n=3).withColumn(
+        "data", F.when(F.col("media_id") == 1, F.lit(None)).otherwise(F.col("data"))
+    )
+    rows = {r["media_id"]: r for r in image_features(df).collect()}
+    assert rows[1]["mean_intensity"] is None
+    assert rows[0]["mean_intensity"] is not None
+
+
+def test_resize_images(media):
+    out = resize_images(media, target=16).collect()
+    assert all(r["width"] == 16 and r["height"] == 16 for r in out)
+    assert all(len(r["data"]) == 16 * 16 for r in out if r["data"] is not None)
+
+
+def test_real_decoder_is_clearly_stubbed(media):
+    with pytest.raises(Exception) as ei:
+        image_features(media, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 3.0), (2, 0.2)], "media_id long, duration_sec double"
+    )
+    rows = frame_sample_plan(df, fps=2.0).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts"])
+    assert by_id[1] == [0.0, 0.5, 1.0, 1.5, 2.0, 2.5]
+    assert by_id[2] == [0.0]
