@@ -32,9 +32,42 @@ identical results (tested against each other and the DuckDB oracle):
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import List, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str = "doc_id",
+    sample_fraction: float = 0.05,
+    hot_multiplier: float = 50.0,
+    max_keys: int = 100,
+    seed: int = 42,
+) -> List:
+    """Sampled hot-key detection (north_rule: 'detect hot doc_id via
+    sampled counts'). Returns keys whose sampled frequency exceeds
+    hot_multiplier x the mean key frequency — the candidates that would
+    serialize a window/shuffle partition. Cost: one pass over a
+    sample_fraction sample with a partial-aggregated groupBy."""
+    counts = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(key)
+        .count()
+    )
+    stats = counts.agg(
+        F.avg("count").alias("mean"), F.count("*").alias("n")
+    ).collect()[0]
+    if not stats["n"]:
+        return []
+    threshold = max(stats["mean"] * hot_multiplier, 2.0)
+    rows = (
+        counts.filter(F.col("count") >= threshold)
+        .orderBy(F.desc("count"))
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[key] for r in rows]
 
 
 def lww_dedup(
@@ -48,7 +81,13 @@ def lww_dedup(
 
     ``order`` values must be unique per key (log offsets are globally
     unique), so all strategies are deterministic.
+
+    ``strategy='auto'`` picks per data shape: sampled hot-key detection
+    (``detect_hot_keys``) routes skewed inputs to the two-stage salted
+    window and uniform inputs to the plain agg.
     """
+    if strategy == "auto":
+        strategy = "salted" if detect_hot_keys(df, key=key) else "agg"
     if strategy == "agg":
         others = [c for c in df.columns if c != key]
         packed = df.groupBy(key).agg(

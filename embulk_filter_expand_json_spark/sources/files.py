@@ -1,0 +1,119 @@
+"""File sources — the input side the reference delegates to Embulk plugins.
+
+The reference's example pipeline (/root/reference/example/config.yml:1-17)
+reads TSV through Embulk's CSV parser with declared columns
+(`{name, type, format?}`), then applies the expansion filter. This module
+reproduces that input contract on `spark.read.csv`:
+
+- the Embulk column list maps to an all-strings read schema followed by the
+  SAME cast layer the expansion operator uses (try_cast chains,
+  Ruby-strftime timestamp translation, per-column timezone) so CSV-side and
+  JSON-side type semantics are identical;
+- `parser: type: none` (the reference's bench raw-line mode,
+  bench/config_raw.yml:4-6) maps to `spark.read.text`.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from embulk_filter_expand_json_spark.functions.timefmt import (
+    translate_ruby_to_java,
+)
+from embulk_filter_expand_json_spark.plans.expand_plan import ConfigException
+
+
+def _cast_column(
+    raw: Column,
+    type_: str,
+    fmt: Optional[str],
+    timezone: str,
+    default_date: str,
+) -> Column:
+    if type_ in ("string", "json"):
+        return raw
+    if type_ == "boolean":
+        return F.when(raw.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.lower(raw) == F.lit("true")
+        )
+    if type_ == "long":
+        return F.coalesce(
+            raw.try_cast("long"), raw.try_cast("double").try_cast("long")
+        )
+    if type_ == "double":
+        return raw.try_cast("double")
+    if type_ == "timestamp":
+        ruby_fmt = fmt or "%Y-%m-%d %H:%M:%S.%N %z"
+        java_fmt = translate_ruby_to_java(ruby_fmt)
+        if java_fmt is None:
+            raise ConfigException(
+                f"timestamp format {ruby_fmt!r} is not Catalyst-translatable"
+            )
+        has_zone = "%z" in ruby_fmt or "%Z" in ruby_fmt
+        has_date = any("%" + t in ruby_fmt for t in ("Y", "y", "m", "d", "F", "D", "j"))
+        src = raw
+        if not has_date:
+            src = F.concat(F.lit(default_date + " "), raw)
+            java_fmt = "yyyy-MM-dd " + java_fmt
+        parsed = F.try_to_timestamp(src, F.lit(java_fmt))
+        if not has_zone:
+            parsed = F.to_utc_timestamp(parsed, timezone)
+        return parsed
+    raise ConfigException(f"unknown column type {type_!r}")
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[Mapping],
+    delimiter: str = ",",
+    header: bool = False,
+    skip_header_lines: int = 0,
+    default_timezone: str = "UTC",
+    default_date: str = "1970-01-01",
+    null_string: Optional[str] = None,
+) -> DataFrame:
+    """Embulk-CSV-parser-style read: ``columns`` is a list of
+    ``{name, type, format?, timezone?}`` dicts (the reference's
+    `parser.columns`, example/config.yml:8-16)."""
+    names = [c["name"] for c in columns]
+    if len(set(names)) != len(names):
+        raise ConfigException("duplicate column names in csv columns")
+    reader = (
+        spark.read.option("delimiter", delimiter)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+    )
+    if null_string is not None:
+        reader = reader.option("nullValue", null_string)
+    raw = reader.csv(path).toDF(*names)
+    if skip_header_lines and not header:
+        # Embulk skips N physical lines; emulate by filtering the first rows
+        # of the first file via a monotonic id (single-file assumption, as
+        # in the reference example)
+        raw = (
+            raw.withColumn("__rid", F.monotonically_increasing_id())
+            .filter(F.col("__rid") >= skip_header_lines)
+            .drop("__rid")
+        )
+    out = [
+        _cast_column(
+            F.col(c["name"]),
+            c.get("type", "string"),
+            c.get("format"),
+            c.get("timezone", default_timezone),
+            default_date,
+        ).alias(c["name"])
+        for c in columns
+    ]
+    return raw.select(out)
+
+
+def read_raw_lines(
+    spark: SparkSession, path: str, column_name: str = "payload"
+) -> DataFrame:
+    """The reference bench's `parser: type: none` (one string column per
+    line, bench/config_raw.yml:4-6)."""
+    return spark.read.text(path).withColumnRenamed("value", column_name)

@@ -84,6 +84,7 @@ class CdcPipeline:
         auto_evolve: bool = True,
         collect_metrics: bool = True,
         bucket_scan_threshold: int = 256,
+        use_observations: bool = True,
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -97,6 +98,11 @@ class CdcPipeline:
         #: touched-bucket scan (file pruning); larger ones rewrite all
         #: buckets (they touch essentially every bucket anyway)
         self.bucket_scan_threshold = bucket_scan_threshold
+        #: single-pass side-aggregates via DataFrame.observe. Must be False
+        #: under Structured Streaming foreachBatch: Observation.get never
+        #: resolves there (the QueryExecutionListener that feeds it does not
+        #: fire for foreachBatch actions), so that path uses explicit scans.
+        self.use_observations = use_observations
         self.offsets_log = os.path.join(table_path, "_checkpoints", "offsets.jsonl")
         if not self.table.exists():
             self.table.create(SEQUENCES_SCHEMA, key=key, num_buckets=num_buckets)
@@ -159,6 +165,16 @@ class CdcPipeline:
 
     # ---------------------------------------------------------- epoch apply
     def apply_epoch(self, epoch: int) -> EpochMetrics:
+        """Apply one epoch of the bounded change log (partition-pruned)."""
+        changes = self.spark.read.parquet(self.changes_path).filter(
+            F.col("epoch") == epoch
+        )
+        return self.apply_micro_batch(changes, epoch)
+
+    def apply_micro_batch(self, changes: DataFrame, epoch: int) -> EpochMetrics:
+        """Apply an arbitrary change DataFrame as epoch ``epoch`` — shared
+        by the bounded replay loop and the Structured Streaming front-end
+        (streaming/stream_apply.py, where epoch = streaming batch_id)."""
         t0 = time.time()
         m = EpochMetrics(epoch=epoch)
         if epoch <= self.last_committed_epoch():
@@ -166,10 +182,6 @@ class CdcPipeline:
             m.wall_sec = time.time() - t0
             self._append_lineage(m)
             return m
-
-        changes = self.spark.read.parquet(self.changes_path).filter(
-            F.col("epoch") == epoch
-        )
 
         num_buckets = self.table.manifest()["num_buckets"]
         # parquet metadata count — decides whether exact bucket pruning is
@@ -182,20 +194,26 @@ class CdcPipeline:
         else:
             buckets = list(range(num_buckets))
 
-        # ---- single-pass epoch: every side-aggregate (schema-drift flag,
-        # offset range, invalid/dedup counts) rides the ONE write action via
-        # CollectMetrics (DataFrame.observe) — no extra scans, no caching.
-        result = self._run_merge(changes, epoch, buckets, m)
-        if result.get("aborted"):
-            # rare path: an unknown payload key appeared in this epoch.
-            # The write was discarded pre-publish; evolve additively and
-            # redo the epoch with the extended expansion config.
-            new_keys = self._scan_new_keys(changes)
-            if new_keys:
-                self.table.evolve_add_columns(
-                    [T.StructField(k, T.StringType(), True) for k in new_keys]
+        if self.use_observations:
+            # ---- single-pass epoch: every side-aggregate (schema-drift
+            # flag, offset range, invalid/dedup counts) rides the ONE write
+            # action via CollectMetrics (DataFrame.observe) — no extra
+            # scans, no caching.
+            result = self._run_merge(changes, epoch, buckets, m)
+            if result.get("aborted"):
+                # rare path: an unknown payload key appeared in this epoch.
+                # The write was discarded pre-publish; evolve additively and
+                # redo the epoch with the extended expansion config.
+                self._evolve(changes, m)
+                result = self._run_merge(
+                    changes, epoch, buckets, m, detect_drift=False
                 )
-                m.evolved_columns = new_keys
+        else:
+            # streaming/foreachBatch path: Observations don't resolve there,
+            # so drift is detected by an explicit up-front scan and metrics
+            # (when enabled) by explicit aggregations
+            if self.auto_evolve:
+                self._evolve(changes, m)
             result = self._run_merge(
                 changes, epoch, buckets, m, detect_drift=False
             )
@@ -204,6 +222,14 @@ class CdcPipeline:
         m.wall_sec = time.time() - t0
         self._append_lineage(m)
         return m
+
+    def _evolve(self, changes: DataFrame, m: EpochMetrics) -> None:
+        new_keys = self._scan_new_keys(changes)
+        if new_keys:
+            self.table.evolve_add_columns(
+                [T.StructField(k, T.StringType(), True) for k in new_keys]
+            )
+            m.evolved_columns = new_keys
 
     def _run_merge(
         self,
@@ -215,6 +241,7 @@ class CdcPipeline:
     ) -> dict:
         from pyspark.sql import Observation
 
+        use_obs = self.use_observations
         extra_cols = [
             f.name for f in self.table.schema().fields if f.name not in _BASE_KEYS
         ]
@@ -222,20 +249,23 @@ class CdcPipeline:
             *[F.lit(k) for k in sorted(_BASE_KEYS | set(extra_cols))]
         )
 
-        obs_in = Observation()
-        in_aggs = [
-            F.count(F.lit(1)).alias("rows_in"),
-            F.min(self.order).alias("lo"),
-            F.max(self.order).alias("hi"),
-        ]
-        if detect_drift and self.auto_evolve:
-            unknown = F.size(
-                F.array_except(F.json_object_keys("payload"), known_arr)
-            )
-            in_aggs.append(
-                F.max(F.when(unknown > 0, 1).otherwise(0)).alias("drift")
-            )
-        observed = changes.observe(obs_in, *in_aggs)
+        observed = changes
+        obs_in = obs_valid = obs_out = None
+        if use_obs:
+            obs_in = Observation()
+            in_aggs = [
+                F.count(F.lit(1)).alias("rows_in"),
+                F.min(self.order).alias("lo"),
+                F.max(self.order).alias("hi"),
+            ]
+            if detect_drift and self.auto_evolve:
+                unknown = F.size(
+                    F.array_except(F.json_object_keys("payload"), known_arr)
+                )
+                in_aggs.append(
+                    F.max(F.when(unknown > 0, 1).otherwise(0)).alias("drift")
+                )
+            observed = changes.observe(obs_in, *in_aggs)
 
         cfg = self._expand_config(extra_cols)
         expanded = expand_json(observed, cfg, mode="auto")
@@ -250,18 +280,42 @@ class CdcPipeline:
             F.col("source"),
             *[F.col(c) for c in extra_cols],
         ).filter(F.col("doc_id").isNotNull())
-        obs_valid = Observation()
-        typed = typed.observe(obs_valid, F.count(F.lit(1)).alias("valid"))
+        if use_obs:
+            obs_valid = Observation()
+            typed = typed.observe(obs_valid, F.count(F.lit(1)).alias("valid"))
 
         deduped = lww_dedup(
             typed, key=self.key, order=self.order, strategy=self.lww_strategy
         )
-        obs_out = Observation()
-        deduped = deduped.observe(
-            obs_out,
-            F.count(F.lit(1)).alias("n_out"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
-        )
+        if use_obs:
+            obs_out = Observation()
+            deduped = deduped.observe(
+                obs_out,
+                F.count(F.lit(1)).alias("n_out"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias(
+                    "deletes"
+                ),
+            )
+        elif self.collect_metrics:
+            # explicit metric aggregations (streaming path): a couple of
+            # small extra jobs per micro-batch
+            agg = changes.agg(
+                F.count(F.lit(1)).alias("rows_in"),
+                F.min(self.order).alias("lo"),
+                F.max(self.order).alias("hi"),
+            ).collect()[0]
+            m.rows_in, m.start_offset, m.end_offset = (
+                agg["rows_in"], agg["lo"], agg["hi"],
+            )
+            valid = typed.count()
+            by_op = {
+                r["op"]: r["n"]
+                for r in deduped.groupBy("op").agg(F.count("*").alias("n")).collect()
+            }
+            m.deletes = by_op.get("D", 0)
+            m.upserts = sum(v for k, v in by_op.items() if k != "D")
+            m.invalid = m.rows_in - valid
+            m.dedup_dropped = valid - (m.deletes + m.upserts)
 
         def pre_commit() -> bool:
             vals = obs_in.get
@@ -284,7 +338,7 @@ class CdcPipeline:
             epoch=epoch,
             delete_col="__del",
             affected_buckets=buckets,
-            pre_commit=pre_commit,
+            pre_commit=pre_commit if use_obs else None,
         )
 
     # ------------------------------------------------------------------ run

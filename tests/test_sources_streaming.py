@@ -1,0 +1,184 @@
+"""CSV/raw-line sources, hot-key detection + auto strategy, and the
+Structured Streaming apply front-end (exactly-once across restarts)."""
+
+import datetime
+import json
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from embulk_filter_expand_json_spark import expand_json
+from embulk_filter_expand_json_spark.operators.dedup_lww import (
+    detect_hot_keys,
+    lww_dedup,
+)
+from embulk_filter_expand_json_spark.reference_oracle import replay
+from embulk_filter_expand_json_spark.sources.changegen import (
+    ChangeGenConfig,
+    write_changes,
+)
+from embulk_filter_expand_json_spark.sources.files import read_csv, read_raw_lines
+from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
+from embulk_filter_expand_json_spark.streaming.stream_apply import (
+    run_streaming_apply,
+)
+
+
+# ------------------------------------------------------------------ sources
+
+def test_read_csv_with_types_and_timestamp(spark, tmp_path):
+    p = tmp_path / "in.tsv"
+    p.write_text(
+        "2015-01-27 19:23:49 +0900\t1\tfoo\t3.2\ttrue\n"
+        "2015-01-28 00:00:00 +0000\t2\tbar\t1.5\tfalse\n"
+    )
+    df = read_csv(
+        spark,
+        str(p),
+        delimiter="\t",
+        columns=[
+            {"name": "time", "type": "timestamp", "format": "%Y-%m-%d %H:%M:%S %z"},
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "ok", "type": "boolean"},
+        ],
+    )
+    rows = df.orderBy("id").collect()
+    assert rows[0]["time"] == datetime.datetime(2015, 1, 27, 10, 23, 49)
+    assert rows[0]["id"] == 1 and rows[0]["score"] == 3.2 and rows[0]["ok"] is True
+    assert rows[1]["name"] == "bar" and rows[1]["ok"] is False
+
+
+def test_read_raw_lines_plus_expand(spark, tmp_path):
+    """The reference's bench pipeline shape: raw JSON lines -> expand
+    (bench/config_raw.yml + config_with_*_cache.yml)."""
+    p = tmp_path / "lines.jsonl"
+    p.write_text('{"a": 1, "b": {"c": "x"}}\n{"a": 2}\n')
+    df = read_raw_lines(spark, str(p), column_name="json_payload")
+    out = expand_json(
+        df,
+        {
+            "json_column_name": "json_payload",
+            "expanded_columns": [
+                {"name": "a", "type": "long"},
+                {"name": "b.c", "type": "string"},
+            ],
+        },
+    )
+    rows = out.orderBy("a").collect()
+    assert [(r["a"], r["b.c"]) for r in rows] == [(1, "x"), (2, None)]
+
+
+# ------------------------------------------------------- hot keys / salting
+
+def test_detect_hot_keys_and_auto_strategy(spark):
+    rows = [("hot", i) for i in range(5000)] + [
+        (f"k{i}", i) for i in range(5000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, log_offset long")
+    hot = detect_hot_keys(df, sample_fraction=0.2, hot_multiplier=10.0)
+    assert hot == ["hot"]
+    uniform = spark.createDataFrame(
+        [(f"k{i % 500}", i) for i in range(2000)], "doc_id string, log_offset long"
+    )
+    assert detect_hot_keys(uniform, sample_fraction=0.5, hot_multiplier=10.0) == []
+    # auto must agree with the explicit strategies
+    got = sorted(
+        (r["doc_id"], r["log_offset"])
+        for r in lww_dedup(df, strategy="auto").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["log_offset"])
+        for r in lww_dedup(df, strategy="window").collect()
+    )
+    assert got == want
+
+
+# ------------------------------------------------------------- streaming
+
+CFG = ChangeGenConfig(n_events=2_000, n_docs=100, batch_size=400, seed=3)
+
+
+def table_state(t: SnapTable) -> dict:
+    return {
+        r["doc_id"]: (list(r["tokens"]) if r["tokens"] is not None else None)
+        for r in t.read().collect()
+    }
+
+
+def test_streaming_apply_matches_oracle(spark, tmp_path):
+    log = str(tmp_path / "log")
+    write_changes(spark, CFG, log)
+    q = run_streaming_apply(
+        spark,
+        changes_path=log,
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        num_buckets=4,
+    )
+    q.awaitTermination(120)
+    t = SnapTable(spark, str(tmp_path / "tbl"))
+    got = table_state(t)
+    events = [
+        (r["log_offset"], r["op"], r["payload"])
+        for r in spark.read.parquet(log).collect()
+    ]
+    want = replay(events, extra_keys=("lang",))
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == want[d]["tokens"], d
+
+
+def test_streaming_apply_restart_and_new_data(spark, tmp_path):
+    log = str(tmp_path / "log2")
+    write_changes(spark, CFG, log)
+    kw = dict(
+        changes_path=log,
+        table_path=str(tmp_path / "tbl2"),
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        num_buckets=4,
+    )
+    q = run_streaming_apply(spark, **kw)
+    q.awaitTermination(120)
+    t = SnapTable(spark, str(tmp_path / "tbl2"))
+    state1 = table_state(t)
+    v1 = t.manifest()["version"]
+
+    # restart with no new data: no new commits (exactly-once across restart)
+    q = run_streaming_apply(spark, **kw)
+    q.awaitTermination(120)
+    assert table_state(t) == state1
+    assert t.manifest()["version"] == v1
+
+    # append new data: picked up incrementally from the checkpoint
+    extra = ChangeGenConfig(
+        n_events=400, n_docs=100, batch_size=400, seed=99
+    )
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        generate_changes,
+    )
+
+    (
+        generate_changes(spark, extra)
+        .withColumn("log_offset", F.col("log_offset") + CFG.n_events)
+        .withColumn("epoch", F.lit(CFG.n_events // CFG.batch_size))
+        .write.mode("append")
+        .partitionBy("epoch")
+        .parquet(log)
+    )
+    q = run_streaming_apply(spark, **kw)
+    q.awaitTermination(120)
+    assert t.manifest()["version"] > v1
+    events = [
+        (r["log_offset"], r["op"], r["payload"])
+        for r in spark.read.parquet(log).collect()
+    ]
+    want = replay(events, extra_keys=("lang",))
+    got = table_state(t)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == want[d]["tokens"], d
