@@ -119,6 +119,15 @@ def _lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lww_dedup(ev, key="user_id", order="event_id", strategy="salted")
 
 
+def _lww_keyjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embulk_filter_expand_json_spark.operators.dedup_lww import lww_dedup
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    return lww_dedup(ev, key="user_id", order="event_id", strategy="keyjoin")
+
+
 _LWW_ORACLE = """
 SELECT user_id, event_id, event_type, value FROM (
   SELECT user_id, event_id, event_type, value,
@@ -297,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_dedup_window": _lww_window,
         "lww_dedup_agg": _lww_agg,
         "lww_dedup_salted": _lww_salted,
+        "lww_dedup_keyjoin": _lww_keyjoin,
         "cdc_replay_state": _cdc_replay_state,
         "doc_fingerprint": _doc_fingerprint,
         "token_stats": _token_stats,
@@ -337,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "lww_dedup_window": _LWW_ORACLE,
         "lww_dedup_agg": _LWW_ORACLE,
         "lww_dedup_salted": _LWW_ORACLE,
+        "lww_dedup_keyjoin": _LWW_ORACLE,
         "doc_fingerprint": """
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp

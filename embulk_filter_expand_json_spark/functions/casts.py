@@ -80,6 +80,9 @@ def cast_boolean(s: pd.Series) -> Tuple[pd.Series, pd.Series]:
 def _parse_long_slow(x: str) -> Optional[int]:
     """Long.parseLong, then (long) Double.parseDouble fallback
     (FilteredPageOutput.java:361-374): '12345e3' -> 12_345_000 (truncating)."""
+    if "_" in x:
+        # Python's int()/float() accept '1_0'; Java's parsers do not
+        return None
     try:
         v = int(x)
         if _I64_MIN <= v <= _I64_MAX:
@@ -122,18 +125,35 @@ def cast_long(s: pd.Series) -> Tuple[pd.Series, pd.Series]:
 
 
 def cast_double(s: pd.Series) -> Tuple[pd.Series, pd.Series]:
-    notnull = s.notna()
-    out = pd.to_numeric(s, errors="coerce")
-    err = notnull & out.isna()
-    if err.any():
-        # Double.parseDouble also accepts NaN/Infinity spellings
-        for i in err[err].index:
+    """Returns an explicitly-masked Float64 (FloatingArray) so the
+    pandas->Arrow boundary in mapInPandas can distinguish a genuine NaN
+    value (Double.parseDouble('NaN') is valid in Java) from null — a plain
+    float64 NaN would be coerced to null there."""
+    n = len(s)
+    vals = np.zeros(n, dtype="float64")
+    mask = np.ones(n, dtype=bool)  # True = null
+    err = np.zeros(n, dtype=bool)
+    numeric = pd.to_numeric(s, errors="coerce").to_numpy(dtype="float64")
+    notnull = s.notna().to_numpy()
+    ok = notnull & ~np.isnan(numeric)
+    vals[ok] = numeric[ok]
+    mask[ok] = False
+    for idx in np.nonzero(notnull & np.isnan(numeric))[0]:
+        v = s.iloc[idx]
+        # Double.parseDouble also accepts NaN/Infinity spellings (but not
+        # Python's '1_0' underscore separators)
+        if "_" not in v:
             try:
-                out[i] = float(s[i])
-                err[i] = False
+                vals[idx] = float(v)
+                mask[idx] = False
+                continue
             except ValueError:
                 pass
-    return out.astype("float64"), err
+        err[idx] = True
+    return (
+        pd.Series(pd.arrays.FloatingArray(vals, mask), index=s.index),
+        pd.Series(err, index=s.index),
+    )
 
 
 def cast_string(s: pd.Series) -> Tuple[pd.Series, pd.Series]:

@@ -581,7 +581,11 @@ def _eval_steps(steps: Sequence[Step], current: List[Any], root: Any) -> List[An
                         nxt.append(n[step.name])
         elif isinstance(step, RecursiveAll):
             for c in current:
-                _walk(c, nxt)
+                sub: List[Any] = []
+                _walk(c, sub)
+                # Jayway's '$..*' yields descendants only — the current
+                # node itself is excluded
+                nxt.extend(sub[1:])
         elif isinstance(step, Filter):
             for c in current:
                 if isinstance(c, list):

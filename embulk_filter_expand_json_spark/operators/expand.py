@@ -124,52 +124,91 @@ def _gjo_path(cp: JsonPath) -> str:
     return "".join(parts)
 
 
-def _catalyst_cast(ext: Column, spec: ColumnSpec) -> tuple:
-    """-> (value_column, error_condition) replicating the Java casts."""
-    if spec.type == "string":
+_I64_MAX = (1 << 63) - 1
+_I64_MIN = -(1 << 63)
+
+
+def catalyst_cast(
+    ext: Column,
+    type_: str,
+    timestamp_format: Optional[str] = None,
+    timezone: str = "UTC",
+    date: str = "1970-01-01",
+    session_tz: str = "UTC",
+) -> tuple:
+    """-> (value_column, error_condition) replicating the Java casts as pure
+    Catalyst expressions. Shared by the expansion operator's fast path and
+    the CSV source (sources/files.py) so the two sides cannot diverge."""
+    if type_ == "string":
         return ext, F.lit(False)
-    if spec.type == "boolean":
+    if type_ == "boolean":
         # Boolean.parseBoolean: 'true' (ci) -> true, anything else -> false
         val = F.when(ext.isNull(), F.lit(None).cast("boolean")).otherwise(
             F.lower(ext) == F.lit("true")
         )
         return val, F.lit(False)
-    if spec.type == "double":
+    if type_ == "double":
         val = ext.try_cast("double")
         return val, ext.isNotNull() & val.isNull()
-    if spec.type == "long":
+    if type_ == "long":
         # Long.parseLong with (long) Double.parseDouble fallback
-        # (FilteredPageOutput.java:361-374): '12345e3' -> 12_345_000
+        # (FilteredPageOutput.java:361-374): '12345e3' -> 12_345_000.
+        # Java's (long) cast saturates at Long.MIN/MAX and maps NaN to 0;
+        # Spark's double->long try_cast nulls instead, so clamp explicitly.
+        d = ext.try_cast("double")
+        from_double = (
+            F.when(F.isnan(d), F.lit(0).cast("long"))
+            .when(d >= F.lit(float(_I64_MAX)), F.lit(_I64_MAX))
+            .when(d <= F.lit(float(_I64_MIN)), F.lit(_I64_MIN))
+            .otherwise(d.try_cast("long"))
+        )
         val = F.coalesce(
-            ext.try_cast("long"), ext.try_cast("double").try_cast("long")
+            ext.try_cast("long"),
+            F.when(d.isNotNull(), from_double),
         )
         return val, ext.isNotNull() & val.isNull()
-    if spec.type == "json":
+    if type_ == "json":
         # JsonParser.parse validation: value must itself be valid JSON
         # (probe via get_json_object('$') — null only for unparseable text)
         return ext, ext.isNotNull() & F.get_json_object(ext, "$").isNull()
-    if spec.type == "timestamp":
-        assert spec.timestamp_format is not None
-        java_fmt = translate_ruby_to_java(spec.timestamp_format)
+    if type_ == "timestamp":
+        assert timestamp_format is not None
+        java_fmt = translate_ruby_to_java(timestamp_format)
         assert java_fmt is not None
-        has_zone = "%z" in spec.timestamp_format or "%Z" in spec.timestamp_format
+        has_zone = "%z" in timestamp_format or "%Z" in timestamp_format
         has_date = any(
-            "%" + t in spec.timestamp_format for t in ("Y", "y", "m", "d", "F", "D", "j")
+            "%" + t in timestamp_format for t in ("Y", "y", "m", "d", "F", "D", "j")
         )
         src = ext
         if not has_date:
-            src = F.concat(F.lit(spec.date + " "), ext)
+            src = F.concat(F.lit(date + " "), ext)
             java_fmt = "yyyy-MM-dd " + java_fmt
         parsed = F.try_to_timestamp(src, F.lit(java_fmt))
         if not has_zone:
-            # naive wall-time localized to the column timezone
-            # (FilteredPageOutput.java:130-154)
-            parsed = F.to_utc_timestamp(parsed, spec.timezone)
+            # naive wall-time must be interpreted in the COLUMN timezone
+            # (FilteredPageOutput.java:130-154). try_to_timestamp parsed it
+            # in the SESSION timezone, so first undo that interpretation
+            # (from_utc_timestamp reconstructs the wall clock), then apply
+            # the column timezone — session-independent.
+            wall = F.from_utc_timestamp(parsed, session_tz)
+            parsed = F.to_utc_timestamp(wall, timezone)
         return parsed, ext.isNotNull() & parsed.isNull()
-    raise AssertionError(spec.type)
+    raise AssertionError(type_)
+
+
+def _catalyst_cast(ext: Column, spec: ColumnSpec, session_tz: str) -> tuple:
+    return catalyst_cast(
+        ext,
+        spec.type,
+        timestamp_format=spec.timestamp_format,
+        timezone=spec.timezone,
+        date=spec.date,
+        session_tz=session_tz,
+    )
 
 
 def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFrame:
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     doc = F.col(plan.json_column_name)
     # cheap malformed probe: '$' extraction is null only for unparseable
     # docs; repeated uses collapse via whole-stage-codegen subexpression
@@ -218,7 +257,7 @@ def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFra
         ext = ext_cols.get(i)
         if ext is None:
             ext = F.get_json_object(doc_guarded, _gjo_path(cp))
-        val, e = _catalyst_cast(ext, spec)
+        val, e = _catalyst_cast(ext, spec, session_tz)
         values[spec.name] = val
         err = err | e
 

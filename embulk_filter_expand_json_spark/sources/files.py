@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from embulk_filter_expand_json_spark.functions.timefmt import (
     translate_ruby_to_java,
 )
+from embulk_filter_expand_json_spark.operators.expand import catalyst_cast
 from embulk_filter_expand_json_spark.plans.expand_plan import ConfigException
 
 
@@ -31,37 +32,26 @@ def _cast_column(
     fmt: Optional[str],
     timezone: str,
     default_date: str,
+    session_tz: str,
 ) -> Column:
-    if type_ in ("string", "json"):
-        return raw
-    if type_ == "boolean":
-        return F.when(raw.isNull(), F.lit(None).cast("boolean")).otherwise(
-            F.lower(raw) == F.lit("true")
+    """One shared cast layer with the expansion operator (catalyst_cast) —
+    CSV-side and JSON-side type semantics are the same code path."""
+    if type_ not in ("string", "boolean", "long", "double", "timestamp", "json"):
+        raise ConfigException(f"unknown column type {type_!r}")
+    ruby_fmt = fmt or "%Y-%m-%d %H:%M:%S.%N %z"
+    if type_ == "timestamp" and translate_ruby_to_java(ruby_fmt) is None:
+        raise ConfigException(
+            f"timestamp format {ruby_fmt!r} is not Catalyst-translatable"
         )
-    if type_ == "long":
-        return F.coalesce(
-            raw.try_cast("long"), raw.try_cast("double").try_cast("long")
-        )
-    if type_ == "double":
-        return raw.try_cast("double")
-    if type_ == "timestamp":
-        ruby_fmt = fmt or "%Y-%m-%d %H:%M:%S.%N %z"
-        java_fmt = translate_ruby_to_java(ruby_fmt)
-        if java_fmt is None:
-            raise ConfigException(
-                f"timestamp format {ruby_fmt!r} is not Catalyst-translatable"
-            )
-        has_zone = "%z" in ruby_fmt or "%Z" in ruby_fmt
-        has_date = any("%" + t in ruby_fmt for t in ("Y", "y", "m", "d", "F", "D", "j"))
-        src = raw
-        if not has_date:
-            src = F.concat(F.lit(default_date + " "), raw)
-            java_fmt = "yyyy-MM-dd " + java_fmt
-        parsed = F.try_to_timestamp(src, F.lit(java_fmt))
-        if not has_zone:
-            parsed = F.to_utc_timestamp(parsed, timezone)
-        return parsed
-    raise ConfigException(f"unknown column type {type_!r}")
+    val, _err = catalyst_cast(
+        raw,
+        type_,
+        timestamp_format=ruby_fmt if type_ == "timestamp" else None,
+        timezone=timezone,
+        date=default_date,
+        session_tz=session_tz,
+    )
+    return val
 
 
 def read_csv(
@@ -98,6 +88,7 @@ def read_csv(
             .filter(F.col("__rid") >= skip_header_lines)
             .drop("__rid")
         )
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
     out = [
         _cast_column(
             F.col(c["name"]),
@@ -105,6 +96,7 @@ def read_csv(
             c.get("format"),
             c.get("timezone", default_timezone),
             default_date,
+            session_tz,
         ).alias(c["name"])
         for c in columns
     ]

@@ -232,6 +232,13 @@ class SnapTable:
         upserts = aligned.filter(~F.col("__is_delete")).drop("__is_delete")
         new_state = upserts
         if old_files:
+            # materialize the delta ONCE: both the anti-join key set and the
+            # union below consume `aligned`, and without truncation the full
+            # upstream plan (expand + LWW dedup) would execute twice per
+            # epoch. localCheckpoint stores the (small, deduped) delta in
+            # the block manager and cuts the lineage.
+            aligned = aligned.localCheckpoint(eager=True)
+            upserts = aligned.filter(~F.col("__is_delete")).drop("__is_delete")
             old = self._read_files(old_files, schema).withColumn(
                 "__bucket", bucket_of
             )
