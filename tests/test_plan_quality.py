@@ -1,0 +1,104 @@
+"""Physical-plan quality gates: the optimizations the engine's design
+depends on must actually appear in the executed plan — filters pushed into
+the parquet scan, partition pruning on the change log's epoch column,
+column pruning through the expansion operator, and zero Python in the
+Catalyst path."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from embulk_filter_expand_json_spark import expand_json
+
+CFG = {
+    "json_column_name": "props",
+    "expanded_columns": [{"name": "k", "type": "long"}],
+}
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_prefilter_pushes_into_scan(spark):
+    """A filter on an input column placed before expansion must reach the
+    parquet scan as a PushedFilter, not evaluate post-expansion."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    plan = plan_of(expand_json(ev, CFG))
+    assert "PushedFilters" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:200]
+
+
+def test_partition_pruning_on_epoch(spark, tmp_path):
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+
+    path = str(tmp_path / "log")
+    write_changes(
+        spark, ChangeGenConfig(n_events=2000, n_docs=50, batch_size=500), path
+    )
+    sliced = spark.read.parquet(path).filter(F.col("epoch") == 2)
+    plan = plan_of(sliced)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:120]
+    assert "epoch" in seg
+    # only one of four epoch partitions is read
+    assert sliced.count() == 500
+
+
+def test_catalyst_path_has_no_python(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = plan_of(expand_json(ev, CFG)).lower()
+    assert "mapinpandas" not in plan
+    assert "pythonudf" not in plan
+    assert "batchevalpython" not in plan
+
+
+def test_whole_stage_codegen_covers_expansion(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = plan_of(expand_json(ev, CFG))
+    # executedPlan().toString() marks codegen stages with a '*(n)' prefix
+    assert plan.lstrip().startswith("*(")
+
+
+def test_column_pruning_through_expansion(spark):
+    """Selecting a subset of the operator's output must prune unused
+    pass-through columns out of the parquet ReadSchema."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = expand_json(ev, CFG).select("event_id", "k")
+    plan = plan_of(out)
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "props" in read_schema  # the source column is needed
+    assert "event_id" in read_schema
+    assert "value" not in read_schema  # unused pass-through pruned
+    assert "user_id" not in read_schema
+
+
+def test_lww_agg_is_partial_aggregated(spark):
+    """The agg strategy must plan a map-side partial aggregate before the
+    shuffle (the skew-absorbing property the design relies on)."""
+    from embulk_filter_expand_json_spark.operators.dedup_lww import lww_dedup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_id", "value"
+    )
+    plan = plan_of(lww_dedup(ev, key="user_id", order="event_id", strategy="agg"))
+    before_exchange = plan.split("Exchange")[-1]
+    # partial_max_by appears below the exchange (map side)
+    assert "partial_max_by" in before_exchange or "partial_max_by" in plan
+
+
+def test_keyjoin_broadcasts_winner_set(spark):
+    from embulk_filter_expand_json_spark.operators.dedup_lww import lww_dedup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_id", "value"
+    )
+    plan = plan_of(
+        lww_dedup(ev, key="user_id", order="event_id", strategy="keyjoin")
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
