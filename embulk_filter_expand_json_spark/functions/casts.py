@@ -53,6 +53,42 @@ def java_double_to_string(v: float) -> str:
     return f"{'-' if sign else ''}{mant}E{e}"
 
 
+def _reject_constant(name: str):
+    # strict JSON: bare Infinity/NaN/-Infinity are invalid (Python's json
+    # accepts them by default; Jackson and the reference do not)
+    raise ValueError(f"non-standard JSON constant {name!r}")
+
+
+def loads_strict(text: str) -> Any:
+    return json.loads(text, parse_constant=_reject_constant)
+
+
+def dumps_java(v: Any) -> str:
+    """Compact JSON rendering matching Jackson's (and therefore the
+    Catalyst path's get_json_object): floats print like Java
+    Double.toString ('3.9285E24', not Python's '3.9285e+24')."""
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, float):
+        return java_double_to_string(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, list):
+        return "[" + ",".join(dumps_java(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{json.dumps(k, ensure_ascii=False)}:{dumps_java(x)}"
+            for k, x in v.items()
+        ) + "}"
+    raise TypeError(f"unserializable {type(v)}")
+
+
 def stringify_extracted(v: Any) -> Optional[str]:
     """convertJsonNodeAsString (FilteredPageOutput.java:400-418): None stays
     None; dict/list -> compact JSON (Jackson-style); scalars -> Java
@@ -60,7 +96,7 @@ def stringify_extracted(v: Any) -> Optional[str]:
     if v is None:
         return None
     if isinstance(v, (dict, list)):
-        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+        return dumps_java(v)
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
@@ -171,11 +207,15 @@ def cast_json(s: pd.Series) -> Tuple[pd.Series, pd.Series]:
         if v is None or v is pd.NA:
             continue
         try:
-            out[i] = json.dumps(
-                json.loads(v), separators=(",", ":"), ensure_ascii=False
-            )
+            parsed = loads_strict(v)
         except (ValueError, TypeError):
             err[i] = True
+            continue
+        # containers re-serialize canonically (Jackson-compact, matching
+        # the Catalyst path); scalars keep their original text — Spark's
+        # get_json_object returns raw scalar text ('12345e3' stays
+        # '12345e3'), and cross-path agreement is the contract
+        out[i] = dumps_java(parsed) if isinstance(parsed, (dict, list)) else v
     return out, err
 
 

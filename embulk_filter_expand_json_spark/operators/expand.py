@@ -21,6 +21,13 @@ Two physical strategies for the same semantics (the reference's data path,
 Both paths implement the invalid-record channel: bad rows are *dropped*
 (stop_on_invalid_record=false, counted in ``metrics``) or abort the job
 (true) — FilteredPageOutput.java:247-264.
+
+Known Catalyst-path deviation (differential-fuzzed, tests/test_differential
+.py): JSON *integers beyond int64* pass through Jackson's double conversion
+inside get_json_object (15 significant digits) before casting, while the
+Arrow path (like the reference's json-smart BigInteger) keeps every digit —
+a <=2-ulp difference when the target type is double. All other value
+classes are bit-identical across paths.
 """
 
 from __future__ import annotations
@@ -37,6 +44,7 @@ from pyspark.sql import types as T
 
 from embulk_filter_expand_json_spark.functions.casts import (
     apply_cast,
+    loads_strict,
     stringify_extracted,
 )
 from embulk_filter_expand_json_spark.functions.jsonpath import (
@@ -317,7 +325,7 @@ def _expand_arrow(
                 if d is None or d == "" or d is pd.NA:
                     continue
                 try:
-                    parsed[i] = json.loads(d)
+                    parsed[i] = loads_strict(d)
                 except ValueError:
                     if abort_on_malformed:
                         raise DataException(
