@@ -292,6 +292,48 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract surface
 # ---------------------------------------------------------------------------
 
+def _streaming_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same replay as cdc_replay_state but driven through the Structured
+    Streaming front-end (readStream -> foreachBatch -> idempotent MERGE).
+    Rows-only check; cross-validated against the pure-Python oracle in
+    tests/test_sources_streaming.py."""
+    import time
+
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
+    from embulk_filter_expand_json_spark.streaming.stream_apply import (
+        run_streaming_apply,
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc_stream_entry_")
+    try:
+        cfg = ChangeGenConfig(
+            n_events=4_000, n_docs=200, batch_size=1_000, seed=42
+        )
+        write_changes(spark, cfg, os.path.join(work, "log"))
+        q = run_streaming_apply(
+            spark,
+            changes_path=os.path.join(work, "log"),
+            table_path=os.path.join(work, "table"),
+            checkpoint_path=os.path.join(work, "ckpt"),
+            num_buckets=4,
+        )
+        deadline = time.time() + 300
+        while q.isActive and time.time() < deadline:
+            time.sleep(1)
+        if q.isActive:
+            q.stop()
+        out = SnapTable(spark, os.path.join(work, "table")).read().select(
+            "doc_id", "n_tok", "source"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: expansion operator on sf0.001 events (drop-source mode)."""
     return _expand_props_long(spark, "/root/testdata/sf0.001")
@@ -308,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_dedup_salted": _lww_salted,
         "lww_dedup_keyjoin": _lww_keyjoin,
         "cdc_replay_state": _cdc_replay_state,
+        "streaming_replay_state": _streaming_replay_state,
         "doc_fingerprint": _doc_fingerprint,
         "token_stats": _token_stats,
         "quality_scores": _quality_scores,
