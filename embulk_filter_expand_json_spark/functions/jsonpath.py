@@ -231,14 +231,48 @@ class _Parser:
         return tuple(steps)
 
     def _trim_ident(self, raw: str, top: bool) -> str:
-        """In filter sub-paths, stop idents at comparison/boolean operators."""
+        """In filter sub-paths, stop idents at comparison/boolean operators.
+
+        ``[?(@.price<10)]`` is legal Jayway with no spaces, so the ident must
+        stop at the operator. But a cut is only taken when what FOLLOWS the
+        operator is a syntactically valid continuation (an operand start, a
+        regex, or a structural token); otherwise the ident is ambiguous —
+        e.g. a field literally named ``a<b`` — and we raise, like Jayway,
+        instead of silently evaluating the prefix field. Such fields must be
+        bracket-quoted: ``@['a<b']``.
+        """
         if top:
             return raw
+        cut = len(raw)
+        cut_op = None
         for op in ("==", "!=", "<=", ">=", "=~", "<", ">", "&&", "||", ")", ","):
             k = raw.find(op)
-            if k >= 0:
-                raw = raw[:k]
-        return raw
+            if 0 <= k < cut:
+                cut, cut_op = k, op
+        if cut_op is None:
+            return raw
+        if cut == 0:
+            raise JsonPathSyntaxError(
+                f"empty identifier before {cut_op!r} at {self.i} in {self.text!r}"
+            )
+        if cut_op in (")", ",", "&&", "||"):
+            # structural: the sub-path simply ends here (existence test /
+            # boolean connective) — always a valid cut
+            return raw[:cut]
+        rest = raw[cut + len(cut_op):].lstrip()
+        if not rest:
+            # operand continues after whitespace in the source text — valid
+            return raw[:cut]
+        ok_starts = "@$'\"[(-+./0123456789"
+        if rest[0] in ok_starts or any(
+            rest.startswith(w) for w in ("true", "false", "null")
+        ):
+            return raw[:cut]
+        raise JsonPathSyntaxError(
+            f"ambiguous identifier {raw!r} at {self.i} in {self.text!r}: "
+            f"{cut_op!r} is not followed by a valid operand — bracket-quote "
+            "field names containing operator characters"
+        )
 
     def parse_bracket(self) -> Step:
         self.expect("[")

@@ -109,6 +109,24 @@ def translate_ruby_to_java(fmt: str) -> Optional[str]:
 
 
 _FRAC_TRIM_RE = re.compile(r"(\.\d{6})\d+")
+#: any fractional-seconds token incl. Ruby width/flag modifiers: %N, %3N,
+#: %9N, %03L, %-N ... (modifiers are legal Ruby strftime and accepted by
+#: translate_ruby_to_python, so the trim guard must accept them too)
+_FRAC_TOKEN_RE = re.compile(r"%[-_0^#\d]*[NL]")
+#: pure epoch-seconds format (Ruby %s) — not expressible in strptime,
+#: handled as a numeric parse
+_EPOCH_SECONDS_RE = re.compile(r"\s*%s\s*$")
+
+
+def validate_ruby_format(fmt: str) -> None:
+    """Plan-time validation: raise UnsupportedTimestampFormat for formats the
+    engine cannot parse, so misconfiguration surfaces as a ConfigException at
+    plan_expansion time rather than an executor-side error mid-job
+    (reference: format problems surface in Embulk's transaction(),
+    ExpandJsonFilterPlugin.java:122-129)."""
+    if _EPOCH_SECONDS_RE.fullmatch(fmt):
+        return
+    translate_ruby_to_python(fmt)
 
 
 def parse_timestamp_series(
@@ -123,12 +141,19 @@ def parse_timestamp_series(
     Nulls pass through as NaT with error_mask False; unparseable non-null
     values get error_mask True (-> invalid-record channel).
     """
-    pyfmt, has_date, has_zone = translate_ruby_to_python(ruby_format)
     s = values.astype("string")
     notnull = s.notna()
+    if _EPOCH_SECONDS_RE.fullmatch(ruby_format):
+        # Ruby %s: integer seconds since the UNIX epoch (always UTC;
+        # timezone/default_date do not apply)
+        nums = pd.to_numeric(s.str.strip(), errors="coerce")
+        parsed = pd.to_datetime(nums, unit="s", errors="coerce", utc=True)
+        return parsed, notnull & parsed.isna()
+    pyfmt, has_date, has_zone = translate_ruby_to_python(ruby_format)
     work = s.copy()
-    if "%N" in ruby_format or "%L" in ruby_format:
-        # ns -> us truncation (Embulk is ns-precision, Spark is us)
+    if _FRAC_TOKEN_RE.search(ruby_format):
+        # ns -> us truncation (Embulk is ns-precision, Spark is us); the
+        # regex accepts width-modified tokens (%3N, %9N, %03L) too
         work = work.str.replace(_FRAC_TRIM_RE, lambda m: m.group(1), regex=True)
     if not has_date:
         # Embulk default_date fills the date for time-only formats
@@ -142,5 +167,9 @@ def parse_timestamp_series(
         ).dt.tz_convert("UTC")
     else:
         parsed = parsed.dt.tz_convert("UTC")
+    # defense in depth at the pandas->Arrow boundary: Spark TimestampType is
+    # microseconds; any residual sub-us precision would make PyArrow refuse
+    # the ns->us conversion and crash the job
+    parsed = parsed.dt.floor("us")
     err = notnull & parsed.isna()
     return parsed, err

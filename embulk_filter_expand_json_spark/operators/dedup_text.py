@@ -48,15 +48,36 @@ def exact_dedup(
 
 
 def exact_dup_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ids: int = 100,
 ) -> DataFrame:
-    """(fingerprint, n_dups, doc_ids) for groups with >1 member."""
+    """(fingerprint, n_dups, min_id, max_id, doc_ids) for groups with >1
+    member. ``doc_ids`` is CAPPED at the ``max_ids`` smallest ids: a
+    pathological duplicate group (billions of identical boilerplate docs in
+    crawl data) must not materialize every id in one aggregation buffer.
+    The rank filter happens BEFORE collect_list, so the agg buffer holds at
+    most ``max_ids`` entries per group; full cardinality is in ``n_dups``,
+    the extremes in min/max. The window and the groupBy share one hash
+    exchange on ``fp`` (no second shuffle)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy(id_col)
+    ranked = df.select(
+        fingerprint(F.col(text_col)).alias("fp"), F.col(id_col)
+    ).withColumn("__rn", F.row_number().over(w))
     return (
-        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
-        .groupBy("fp")
+        ranked.groupBy("fp")
         .agg(
             F.count("*").alias("n_dups"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") <= max_ids, F.col(id_col))
+                )
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_dups") > 1)
     )
@@ -92,30 +113,28 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 5,
-    threshold: float = 0.8,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
+    """Distinct candidate pairs (id_a < id_b) colliding in >=1 LSH band.
 
-    est_jaccard = fraction of agreeing minhashes (the unbiased MinHash
-    estimator). The band join only shuffles (band_idx, band_hash) keys:
-    candidates collide in >=1 band; dedup pairs with min(band) so each pair
-    is verified once.
-    """
+    The band rows carry ONLY (band, band_hash, id) — never the minhash
+    array. At 64 longs (~512 B) exploded into 16 bands on both join sides,
+    carrying signatures through the shuffle inflates it ~16x for data the
+    candidate stage never reads; estimation/verification joins signatures
+    back on the (tiny) candidate set instead."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_size, seed
     )
     banded = sigs.select(
         F.col(id_col),
-        F.col("minhash"),
         F.explode(
             F.array(
                 *[
@@ -135,34 +154,62 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "minhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    left = banded.select(
-        F.col("band"), F.col("bh"),
-        F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"),
-    )
-    right = banded.select(
-        F.col("band"), F.col("bh"),
-        F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"),
-    )
-    cand = (
+    left = banded.select("band", "bh", F.col(id_col).alias("id_a"))
+    right = banded.select("band", "bh", F.col(id_col).alias("id_b"))
+    return (
         left.join(right, on=["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.first("mh_a").alias("mh_a"),
-            F.first("mh_b").alias("mh_b"),
-        )
+        .select("id_a", "id_b")
+        .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+    verify: str = "exact",
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with similarity >= threshold.
+
+    ``verify='exact'`` (default): LSH candidates verified by EXACT shingle
+    Jaccard — column ``jaccard``. The expensive exact measure touches only
+    the candidate set, so this is both more precise than the MinHash
+    estimate and deterministic/SQL-oracle-comparable.
+    ``verify='estimate'``: the unbiased MinHash estimator — column
+    ``est_jaccard`` — computed by re-joining signatures once on the
+    candidate ids (signatures still never ride the band shuffle)."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_size, seed
+    )
+    if verify == "exact":
+        return ngram_jaccard_pairs(
+            df, cand, text_col, id_col, shingle_size, threshold
+        )
+    if verify != "estimate":
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_size, seed
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
+    scored = cand.join(a, "id_a").join(b, "id_b")
     agree = F.size(
         F.filter(
-            F.zip_with("mh_a", "mh_b", lambda a, b: a == b),
+            F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
             lambda x: x,
         )
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
     return (
-        cand.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        scored.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
 
@@ -199,46 +246,69 @@ def ngram_jaccard_pairs(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 42
 ) -> DataFrame:
-    """64-bit SimHash via a vectorized pandas UDF (numpy bit-parallel):
-    per token, a 64-bit hash votes +1/-1 per bit; the signature is the sign
-    vector. Arrow-batched — no per-row Python function calls."""
-    import zlib
+    """64-bit SimHash: per token, a 64-bit hash votes +1/-1 per bit; the
+    signature is the sign vector.
 
-    MASK = (1 << 64) - 1
-    MIX = 0x9E3779B97F4A7C15
+    Token hashing runs in Catalyst (``transform(split(lower(text)), t ->
+    xxhash64(t, seed))`` — whole-stage codegen, zero per-token Python);
+    only the bit-voting reduction crosses into an Arrow-batched numpy
+    kernel, which processes token-hash arrays in budgeted sub-batches with
+    a column-wise popcount cumsum (no per-token interpreter work)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed))).alias("__th"),
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)
+        TOK_BUDGET = 1 << 18  # bit-matrix working set ~16 MB per sub-batch
         for pdf in batches:
-            usig = np.zeros(len(pdf), dtype=np.uint64)
-            texts = pdf[text_col].tolist()
-            for i, t in enumerate(texts):
-                if not t:
-                    continue
-                toks = t.lower().split()
-                if not toks:
-                    continue
-                hashes = np.fromiter(
-                    (
-                        (zlib.crc32(tok.encode()) * MIX + seed) & MASK
-                        for tok in toks
-                    ),
-                    dtype=np.uint64,
-                    count=len(toks),
-                )
-                bits = (hashes[:, None] >> bit_idx) & np.uint64(1)  # (n_tok, 64)
-                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
-                usig[i] = ((votes > 0).astype(np.uint64) << bit_idx).sum(
-                    dtype=np.uint64
-                )
+            n = len(pdf)
+            th = pdf["__th"]
+            lens = np.fromiter(
+                (0 if a is None else len(a) for a in th),
+                dtype=np.int64,
+                count=n,
+            )
+            out = np.zeros(n, dtype=np.uint64)
+            start = 0
+            while start < n:
+                end, tot = start, 0
+                while end < n and (tot == 0 or tot + lens[end] <= TOK_BUDGET):
+                    tot += int(lens[end])
+                    end += 1
+                if tot:
+                    flat = np.concatenate(
+                        [
+                            np.asarray(th.iloc[i], dtype=np.int64)
+                            for i in range(start, end)
+                            if lens[i]
+                        ]
+                    ).view(np.uint64)
+                    bits = ((flat[:, None] >> bit_idx) & np.uint64(1)).astype(
+                        np.uint8
+                    )
+                    csum = np.zeros((tot + 1, 64), dtype=np.int64)
+                    np.cumsum(bits, axis=0, out=csum[1:])
+                    offs = np.zeros(end - start + 1, dtype=np.int64)
+                    np.cumsum(lens[start:end], out=offs[1:])
+                    sums = csum[offs[1:]] - csum[offs[:-1]]  # (rows, 64)
+                    votes = 2 * sums - lens[start:end, None]
+                    out[start:end] = (
+                        (votes > 0).astype(np.uint64) << bit_idx
+                    ).sum(axis=1, dtype=np.uint64)
+                start = end
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "simhash": usig.view(np.int64)}
+                {id_col: pdf[id_col], "simhash": out.view(np.int64)}
             )
 
     from pyspark.sql import types as T
 
     id_type = df.schema[id_col].dataType
-    return df.select(id_col, text_col).mapInPandas(
+    return hashed.mapInPandas(
         fn,
         T.StructType(
             [

@@ -218,6 +218,11 @@ def _catalyst_cast(ext: Column, spec: ColumnSpec, session_tz: str) -> tuple:
 def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFrame:
     session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     doc = F.col(plan.json_column_name)
+    if plan.source_is_json_typed:
+        # parsed struct/map/array source: re-serialize once (the reference's
+        # json-typed input path, FilteredPageOutput.java:324-332); the
+        # pass-through column (if kept) stays its original parsed type
+        doc = F.to_json(doc)
     # cheap malformed probe: '$' extraction is null only for unparseable
     # docs; repeated uses collapse via whole-stage-codegen subexpression
     # elimination (cheaper than a try_parse_json variant build)
@@ -303,6 +308,11 @@ def _expand_arrow(
 ) -> DataFrame:
     specs = tuple(plan.specs)
     json_col = plan.json_column_name
+    if plan.source_is_json_typed:
+        # serialize the parsed source into a shadow text column; the original
+        # parsed column remains for pass-through (when kept)
+        json_col = "__expand_doc_json"
+        df = df.withColumn(json_col, F.to_json(F.col(plan.json_column_name)))
     stop = plan.stop_on_invalid_record
     abort_on_malformed = plan.malformed_json_policy == "abort"
     out_schema = plan.output_schema

@@ -180,6 +180,10 @@ class ExpandPlan:
     #: names of pass-through input columns, in input order
     passthrough: Sequence[str] = field(default_factory=tuple)
     malformed_json_policy: str = "abort"
+    #: True when the source column is a parsed struct/map/array (the Spark
+    #: analog of Embulk's json-typed input) — the operator re-serializes it
+    #: through to_json before extraction (FilteredPageOutput.java:324-332)
+    source_is_json_typed: bool = False
 
 
 def plan_expansion(config: ExpandConfig, input_schema: T.StructType) -> ExpandPlan:
@@ -192,13 +196,27 @@ def plan_expansion(config: ExpandConfig, input_schema: T.StructType) -> ExpandPl
     then every expanded column in config order.
     """
     if config.cache_provider is not None:
-        # parity with setCacheProvider (ExpandJsonFilterPlugin.java:210-243);
-        # accepted-and-ignored at runtime (paths compile once per executor).
-        if config.cache_provider.lower() not in _KNOWN_CACHE_PROVIDERS:
-            raise ConfigException(
-                f"Cache Provider '{config.cache_provider}' is not supported: "
-                "only 'LRU' and 'NOOP' are available in this engine."
-            )
+        # parity with setCacheProvider (ExpandJsonFilterPlugin.java:210-243):
+        # 'LRU'/'NOOP' by name, else a user-provided provider class loaded by
+        # reflection (testUseUserDefiledCacheProvider,
+        # TestExpandJsonFilterPlugin.java:355-372). Our analog of reflection
+        # is importing a dotted Python path; like the reference's providers,
+        # the object is accepted-and-ignored at runtime (paths compile once
+        # per executor closure, strictly better than a shared cache).
+        name = config.cache_provider
+        if name.lower() not in _KNOWN_CACHE_PROVIDERS:
+            mod, _, attr = name.rpartition(".")
+            try:
+                if not mod:
+                    raise ImportError(name)
+                import importlib
+
+                getattr(importlib.import_module(mod), attr)
+            except (ImportError, AttributeError) as exc:
+                raise ConfigException(
+                    f"Cache Provider '{name}' is not supported: use 'LRU', "
+                    "'NOOP', or an importable provider class path."
+                ) from exc
 
     names = [f.name for f in input_schema.fields]
     if config.json_column_name not in names:
@@ -207,9 +225,15 @@ def plan_expansion(config: ExpandConfig, input_schema: T.StructType) -> ExpandPl
             f"Column '{config.json_column_name}' is not found"
         )
     src_field = input_schema[config.json_column_name]
-    if not isinstance(src_field.dataType, T.StringType):
-        # ExpandJsonFilterPlugin.java:115-119 (string or json; our json
-        # columns are JSON-text strings)
+    source_is_json_typed = isinstance(
+        src_field.dataType, (T.StructType, T.MapType, T.ArrayType)
+    )
+    if not isinstance(src_field.dataType, T.StringType) and not source_is_json_typed:
+        # ExpandJsonFilterPlugin.java:115-119: input must be string or json.
+        # The Spark-native analog of Embulk's json type is a parsed
+        # struct/map/array column — accepted and re-serialized through
+        # to_json, mirroring the reference's toJson() re-serialization
+        # (FilteredPageOutput.java:324-332).
         raise ConfigException(
             f"Column type must be string or json: {config.json_column_name}"
         )
@@ -222,6 +246,23 @@ def plan_expansion(config: ExpandConfig, input_schema: T.StructType) -> ExpandPl
                 f"Column config for '{col.name}' is duplicated at 'expanded_columns' option"
             )
         seen.add(col.name)
+        if col.type == "timestamp":
+            # plan-time format validation: an unsupported Ruby token must
+            # fail here (the reference's transaction() phase), not as an
+            # executor-side exception mid-job on the Arrow path
+            from embulk_filter_expand_json_spark.functions.timefmt import (
+                UnsupportedTimestampFormat,
+                validate_ruby_format,
+            )
+
+            fmt = col.format or config.default_timestamp_format
+            try:
+                validate_ruby_format(fmt)
+            except UnsupportedTimestampFormat as exc:
+                raise ConfigException(
+                    f"Unsupported timestamp format {fmt!r} for column "
+                    f"'{col.name}': {exc}"
+                ) from exc
 
     specs = tuple(
         ColumnSpec(
@@ -273,4 +314,5 @@ def plan_expansion(config: ExpandConfig, input_schema: T.StructType) -> ExpandPl
         keep_expanding_json_column=config.keep_expanding_json_column,
         passthrough=tuple(passthrough),
         malformed_json_policy=config.malformed_json_policy,
+        source_is_json_typed=source_is_json_typed,
     )

@@ -80,14 +80,30 @@ def read_csv(
         reader = reader.option("nullValue", null_string)
     raw = reader.csv(path).toDF(*names)
     if skip_header_lines and not header:
-        # Embulk skips N physical lines; emulate by filtering the first rows
-        # of the first file via a monotonic id (single-file assumption, as
-        # in the reference example)
-        raw = (
-            raw.withColumn("__rid", F.monotonically_increasing_id())
-            .filter(F.col("__rid") >= skip_header_lines)
-            .drop("__rid")
-        )
+        # Embulk skips N physical lines PER FILE. Single file: partition 0 is
+        # the first byte-range split, so a monotonic-id filter is exact and
+        # shuffle-free. Multiple files: rank rows within each file —
+        # monotonically_increasing_id orders rows within a file because
+        # Spark enumerates a file's splits in offset order (one window
+        # shuffle keyed by file name; header-skip is a per-file scan in
+        # Embulk too).
+        if len(raw.inputFiles()) <= 1:
+            raw = (
+                raw.withColumn("__rid", F.monotonically_increasing_id())
+                .filter(F.col("__rid") >= skip_header_lines)
+                .drop("__rid")
+            )
+        else:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(F.input_file_name()).orderBy(
+                F.monotonically_increasing_id()
+            )
+            raw = (
+                raw.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") > skip_header_lines)
+                .drop("__rn")
+            )
     session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
     out = [
         _cast_column(

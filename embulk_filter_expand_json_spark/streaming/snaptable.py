@@ -89,17 +89,23 @@ class SnapTable:
         version = man["version"]
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(self.log_dir, f"v{version:08d}.json")
-        if os.path.exists(final):
-            raise CommitConflict(f"version {version} already committed at {final}")
         with open(tmp, "w") as f:
             json.dump(man, f)
         try:
-            # os.rename is atomic on POSIX and fails on existing target via
-            # the pre-check above (single-writer assumption)
-            os.rename(tmp, final)
+            # os.link fails atomically with EEXIST if the version was already
+            # committed — no exists() pre-check TOCTOU window, so a racing
+            # writer loses loudly instead of silently clobbering the manifest
+            # (this is Iceberg's optimistic-concurrency commit primitive)
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"version {version} already committed at {final}"
+            )
         except OSError:
             os.unlink(tmp)
             raise
+        os.unlink(tmp)
         return version
 
     # --------------------------------------------------------------- schema

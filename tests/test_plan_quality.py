@@ -102,3 +102,41 @@ def test_keyjoin_broadcasts_winner_set(spark):
         lww_dedup(ev, key="user_id", order="event_id", strategy="keyjoin")
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_simhash_token_hashing_is_jvm_side(spark):
+    """Token hashing must run in Catalyst (xxhash64 under codegen BEFORE the
+    Arrow boundary), not inside the Python worker — VERDICT r1 finding #1."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(simhash(docs))
+    # the xxhash64 projection feeds ArrowEvalPython / MapInPandas, so it
+    # must appear below it in the plan text
+    assert "xxhash64" in plan
+    python_at = plan.find("MapInPandas")
+    if python_at == -1:
+        python_at = plan.find("ArrowEval")
+    assert python_at != -1
+    assert plan.find("xxhash64") > python_at  # child plans print BELOW parents
+
+
+def test_minhash_band_shuffle_is_ids_only(spark):
+    """The band-explode candidate join must not drag the 64-long minhash
+    array through its exchanges — VERDICT r1 finding #3. Every hash exchange
+    keyed on the band hash carries exactly (id, band, bh)."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(minhash_lsh_candidates(docs))
+    for chunk in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = chunk.split(")")[0]
+        if "bh#" in keys:
+            # the projected output feeding this exchange is on the next
+            # 'Project' line below; it must not include the minhash array
+            below = chunk[:2000]
+            proj = below.split("Project [", 1)
+            assert len(proj) > 1
+            assert "minhash" not in proj[1].split("]")[0]
