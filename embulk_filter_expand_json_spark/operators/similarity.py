@@ -72,9 +72,12 @@ def lsh_signatures(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    carry_vector: bool = False,
 ) -> DataFrame:
-    """(id, sig int) random-hyperplane signatures; numpy matmul per Arrow
-    batch (one BLAS call per batch, no per-row Python)."""
+    """(id[, embedding], sig) random-hyperplane signatures; numpy matmul per
+    Arrow batch (one BLAS call per batch, no per-row Python).
+    ``carry_vector=True`` passes the embedding through the same pass — the
+    index build needs (id, vector, sig) without a second join/shuffle."""
     planes = _hyperplanes(dim, n_bits, seed)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -82,15 +85,89 @@ def lsh_signatures(
         for pdf in batches:
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
             sig = ((mat @ planes.T) > 0).astype(np.int64) @ weights
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": sig})
+            out = {id_col: pdf[id_col]}
+            if carry_vector:
+                out[vec_col] = pdf[vec_col]
+            out["sig"] = sig
+            yield pd.DataFrame(out)
 
     id_type = df.schema[id_col].dataType
-    return df.select(id_col, vec_col).mapInPandas(
-        fn,
-        T.StructType(
-            [T.StructField(id_col, id_type), T.StructField("sig", T.LongType())]
-        ),
+    fields = [T.StructField(id_col, id_type)]
+    if carry_vector:
+        fields.append(T.StructField(vec_col, df.schema[vec_col].dataType))
+    fields.append(T.StructField("sig", T.LongType()))
+    return df.select(id_col, vec_col).mapInPandas(fn, T.StructType(fields))
+
+
+def _probe_signatures(
+    query: Sequence[float], n_bits: int, n_probes: int, seed: int
+) -> List[int]:
+    """Query signature + the (n_probes-1) nearest buckets by 1-bit flips in
+    |margin| order — standard multi-probe LSH."""
+    q = np.asarray(query, dtype=np.float32)
+    planes = _hyperplanes(len(q), n_bits, seed)
+    margins = planes @ q
+    base = int(((margins > 0).astype(np.int64) * (1 << np.arange(n_bits))).sum())
+    probes: List[int] = [base]
+    for bit in np.argsort(np.abs(margins))[: max(n_probes - 1, 0)]:
+        probes.append(base ^ (1 << int(bit)))
+    return probes
+
+
+def build_lsh_index(
+    df: DataFrame,
+    dim: int,
+    path: str,
+    n_bits: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the ANN index: (id, embedding) written PARTITIONED BY the
+    LSH signature. This is the storage half of the index lifecycle — a
+    query probes O(n_probes) of the 2^n_bits partitions as a
+    partition-pruned scan (no full-table signature recompute per query,
+    which the on-the-fly ``lsh_topk`` pays). One signature pass + one
+    shuffle on sig; at 100 TB, n_bits sizes partitions to ~table/2^n_bits."""
+    sigs = lsh_signatures(
+        df, dim, n_bits, seed, vec_col, id_col, carry_vector=True
     )
+    (
+        sigs.repartition("sig")
+        .write.mode("errorifexists")
+        .partitionBy("sig")
+        .parquet(path)
+    )
+
+
+def read_lsh_index(
+    spark,
+    path: str,
+    query: Sequence[float],
+    n_bits: int = 12,
+    n_probes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Partition-pruned read of the probed buckets only."""
+    probes = _probe_signatures(query, n_bits, n_probes, seed)
+    return spark.read.parquet(path).filter(F.col("sig").isin(probes))
+
+
+def lsh_index_topk(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_bits: int = 12,
+    n_probes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k against a materialized index: exact cosine over only the
+    probed partitions (a pruned scan of n_probes/2^n_bits of the data)."""
+    bucket = read_lsh_index(spark, path, query, n_bits, n_probes, seed)
+    return cosine_topk(bucket, query, k, vec_col, id_col)
 
 
 def lsh_topk(
@@ -103,18 +180,12 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """ANN top-k: exact cosine over only the query's LSH bucket plus the
-    n_probes nearest buckets (1-bit flips in |margin| order — standard
-    multi-probe LSH)."""
+    """ANN top-k WITHOUT a materialized index: recomputes signatures over
+    the full table per query. Correct but the wrong storage story at scale
+    — prefer ``build_lsh_index`` + ``lsh_index_topk`` (partition-pruned
+    probes); this form remains for one-shot/exploratory queries."""
     q = np.asarray(query, dtype=np.float32)
-    planes = _hyperplanes(len(q), n_bits, seed)
-    margins = planes @ q
-    base = int(((margins > 0).astype(np.int64) * (1 << np.arange(n_bits))).sum())
-    flip_order = np.argsort(np.abs(margins))
-    probes: List[int] = [base]
-    for bit in flip_order[: max(n_probes - 1, 0)]:
-        probes.append(base ^ (1 << int(bit)))
-
+    probes = _probe_signatures(query, n_bits, n_probes, seed)
     sigs = lsh_signatures(df, len(q), n_bits, seed, vec_col, id_col)
     bucket_ids = sigs.filter(F.col("sig").isin(probes)).select(id_col)
     bucket = df.join(F.broadcast(bucket_ids), on=id_col)

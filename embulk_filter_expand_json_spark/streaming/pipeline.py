@@ -83,7 +83,6 @@ class CdcPipeline:
         num_buckets: int = 16,
         auto_evolve: bool = True,
         collect_metrics: bool = True,
-        bucket_scan_threshold: int = 256,
         use_observations: bool = True,
     ):
         self.spark = spark
@@ -94,10 +93,6 @@ class CdcPipeline:
         self.lww_strategy = lww_strategy
         self.auto_evolve = auto_evolve
         self.collect_metrics = collect_metrics
-        #: epochs smaller than num_buckets * threshold rows get an exact
-        #: touched-bucket scan (file pruning); larger ones rewrite all
-        #: buckets (they touch essentially every bucket anyway)
-        self.bucket_scan_threshold = bucket_scan_threshold
         #: single-pass side-aggregates via DataFrame.observe. Must be False
         #: under Structured Streaming foreachBatch: Observation.get never
         #: resolves there (the QueryExecutionListener that feeds it does not
@@ -146,29 +141,22 @@ class CdcPipeline:
         )
         return sorted({r["k"] for r in rows} - known)
 
-    def _scan_buckets(self, changes: DataFrame, num_buckets: int) -> List[int]:
-        """Exact touched-bucket set for *small* epochs (MERGE file pruning).
-        Large epochs touch essentially every bucket, so the pipeline skips
-        this scan and rewrites all buckets — the realistic CoW behavior."""
-        rows = (
-            changes.select(
-                F.pmod(
-                    F.xxhash64(F.get_json_object("payload", "$.doc_id")),
-                    F.lit(num_buckets),
-                ).alias("b")
-            )
-            .filter(F.col("b").isNotNull())
-            .distinct()
-            .collect()
-        )
-        return [r["b"] for r in rows]
-
     # ---------------------------------------------------------- epoch apply
+    def _read_changes(self) -> DataFrame:
+        """Read the change log with a pinned schema (inferred once per
+        pipeline): repeated per-epoch reads must not each pay a footer
+        schema-inference job."""
+        if getattr(self, "_changes_schema", None) is None:
+            self._changes_schema = self.spark.read.parquet(
+                self.changes_path
+            ).schema
+        return self.spark.read.schema(self._changes_schema).parquet(
+            self.changes_path
+        )
+
     def apply_epoch(self, epoch: int) -> EpochMetrics:
         """Apply one epoch of the bounded change log (partition-pruned)."""
-        changes = self.spark.read.parquet(self.changes_path).filter(
-            F.col("epoch") == epoch
-        )
+        changes = self._read_changes().filter(F.col("epoch") == epoch)
         return self.apply_micro_batch(changes, epoch)
 
     def apply_micro_batch(self, changes: DataFrame, epoch: int) -> EpochMetrics:
@@ -183,40 +171,27 @@ class CdcPipeline:
             self._append_lineage(m)
             return m
 
-        num_buckets = self.table.manifest()["num_buckets"]
-        # parquet metadata count — decides whether exact bucket pruning is
-        # worth a scan (small epoch) or every bucket is touched anyway
-        n_rows = changes.count()
-        if n_rows < num_buckets * self.bucket_scan_threshold:
-            buckets: Optional[List[int]] = self._scan_buckets(
-                changes, num_buckets
-            )
-        else:
-            buckets = list(range(num_buckets))
-
         if self.use_observations:
             # ---- single-pass epoch: every side-aggregate (schema-drift
-            # flag, offset range, invalid/dedup counts) rides the ONE write
-            # action via CollectMetrics (DataFrame.observe) — no extra
-            # scans, no caching.
-            result = self._run_merge(changes, epoch, buckets, m)
+            # flag, offset range, invalid/dedup counts, touched-bucket set)
+            # rides the ONE stage-write action — CollectMetrics for the
+            # counters, the staged directory listing for the buckets. No
+            # pre-count, no key scan, no checkpoint job.
+            result = self._run_merge(changes, epoch, m)
             if result.get("aborted"):
                 # rare path: an unknown payload key appeared in this epoch.
-                # The write was discarded pre-publish; evolve additively and
-                # redo the epoch with the extended expansion config.
+                # The stage write was discarded pre-publish (and the rewrite
+                # never ran); evolve additively and redo the epoch with the
+                # extended expansion config.
                 self._evolve(changes, m)
-                result = self._run_merge(
-                    changes, epoch, buckets, m, detect_drift=False
-                )
+                result = self._run_merge(changes, epoch, m, detect_drift=False)
         else:
             # streaming/foreachBatch path: Observations don't resolve there,
             # so drift is detected by an explicit up-front scan and metrics
             # (when enabled) by explicit aggregations
             if self.auto_evolve:
                 self._evolve(changes, m)
-            result = self._run_merge(
-                changes, epoch, buckets, m, detect_drift=False
-            )
+            result = self._run_merge(changes, epoch, m, detect_drift=False)
         m.skipped = result.get("skipped", False)
         m.buckets_touched = result.get("buckets_touched", 0)
         m.wall_sec = time.time() - t0
@@ -235,7 +210,6 @@ class CdcPipeline:
         self,
         changes: DataFrame,
         epoch: int,
-        buckets: Optional[List[int]],
         m: EpochMetrics,
         detect_drift: bool = True,
     ) -> dict:
@@ -337,13 +311,12 @@ class CdcPipeline:
             ),
             epoch=epoch,
             delete_col="__del",
-            affected_buckets=buckets,
             pre_commit=pre_commit if use_obs else None,
         )
 
     # ------------------------------------------------------------------ run
     def available_epochs(self) -> List[int]:
-        df = self.spark.read.parquet(self.changes_path)
+        df = self._read_changes()
         return sorted(
             r["epoch"] for r in df.select("epoch").distinct().collect()
         )

@@ -177,7 +177,6 @@ class SnapTable:
         epoch: int,
         delete_col: Optional[str] = None,
         extra_properties: Optional[dict] = None,
-        affected_buckets: Optional[List[int]] = None,
         pre_commit=None,
     ) -> dict:
         """MERGE INTO: upsert deltas by key, delete rows where delete_col.
@@ -187,12 +186,29 @@ class SnapTable:
         (run lww_dedup first). Returns a lineage dict; re-applying an
         epoch <= last_committed_epoch is a recorded no-op (exactly-once).
 
-        ``pre_commit``: optional callable invoked AFTER the data write but
-        BEFORE the manifest publish. Returning False aborts the commit (the
-        written files become unreferenced orphans, exactly like a crash
+        Two-phase staged-delta protocol (what Iceberg/Delta MERGE does):
+
+        1. **Stage** — ONE job computes the delta plan exactly once and
+           writes it hash-bucket-partitioned (``__bucket``/``__is_delete``
+           directories). Caller-attached ``observe`` aggregates ride this
+           job; the touched-bucket set and per-bucket delete presence come
+           from the staged directory listing — no pre-count, no key-scan,
+           no localCheckpoint job.
+        2. **Rewrite** — only for touched buckets that already have data
+           files: survivors (old ANTI-JOIN broadcast staged keys) UNION
+           staged upserts, rewritten per bucket. Touched buckets with NO
+           existing files skip this job entirely — their staged upsert
+           files are registered in the manifest directly (they are already
+           final-format: bucket-partitioned, key-sorted, schema columns
+           only). First-load epochs therefore commit in a single job.
+
+        ``pre_commit``: optional callable invoked AFTER the stage job but
+        BEFORE the rewrite/publish. Returning False aborts the commit (the
+        staged files become unreferenced orphans, exactly like a crash
         between write and publish) and merge returns {"aborted": True}.
         Used by the pipeline's observation-driven schema evolution: a new
-        payload key detected during the write aborts, evolves, and redoes.
+        payload key detected during the stage write aborts, evolves, and
+        redoes — without ever paying the rewrite for the aborted attempt.
         """
         man = self.manifest()
         if epoch <= man["last_committed_epoch"]:
@@ -219,68 +235,41 @@ class SnapTable:
             bucket_of.alias("__bucket"),
         )
 
-        # which buckets does this epoch touch? (small: <= num_buckets rows).
-        # Callers may pass a precomputed SUPERSET (e.g. from a cheap raw-key
-        # scan before dedup) so the delta plan executes exactly once in the
-        # write job instead of being cached/materialized twice — a bucket
-        # with no delta rows is rewritten with identical content (correct,
-        # mildly wasteful, and with uniform key hashing the superset is
-        # almost always exact).
-        if affected_buckets is not None:
-            affected = sorted(affected_buckets)
-        else:
-            affected = sorted(
-                r[0] for r in aligned.select("__bucket").distinct().collect()
-            )
-        old_files = [f for f in man["files"] if f["bucket"] in set(affected)]
-        keep_files = [f for f in man["files"] if f["bucket"] not in set(affected)]
-
-        upserts = aligned.filter(~F.col("__is_delete")).drop("__is_delete")
-        new_state = upserts
-        if old_files:
-            # materialize the delta ONCE: both the anti-join key set and the
-            # union below consume `aligned`, and without truncation the full
-            # upstream plan (expand + LWW dedup) would execute twice per
-            # epoch. localCheckpoint stores the (small, deduped) delta in
-            # the block manager and cuts the lineage.
-            aligned = aligned.localCheckpoint(eager=True)
-            upserts = aligned.filter(~F.col("__is_delete")).drop("__is_delete")
-            old = self._read_files(old_files, schema).withColumn(
-                "__bucket", bucket_of
-            )
-            # survivors: old rows whose key is NOT in this delta
-            delta_keys = aligned.select(key).distinct()
-            survivors = old.join(F.broadcast(delta_keys), on=key, how="left_anti")
-            new_state = survivors.unionByName(upserts)
-
         # unique dir per attempt: a retry after crash-before-publish must not
         # collide with the orphaned files of the failed attempt
         commit_rel = os.path.join(
             "data", f"c{man['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"
         )
         commit_dir = os.path.join(self.path, commit_rel)
+        stage_rel = os.path.join(commit_rel, "delta")
+        stage_dir = os.path.join(self.path, stage_rel)
+
+        # ---- phase 1: stage (the ONE job whose scan carries the observes)
         (
-            new_state.repartition(max(len(affected), 1), "__bucket")
-            .sortWithinPartitions(key)
+            aligned.repartition(num_buckets, "__bucket")
+            .sortWithinPartitions("__bucket", "__is_delete", key)
             .write.mode("errorifexists")
-            .partitionBy("__bucket")
-            .parquet(commit_dir)
+            .partitionBy("__bucket", "__is_delete")
+            .parquet(stage_dir)
         )
 
-        new_files = []
-        for name in sorted(os.listdir(commit_dir)):
+        # touched buckets + staged upsert files from the directory listing
+        # (a manifest-sized filesystem walk, no Spark job)
+        staged_upserts: dict = {}  # bucket -> [relpath, ...]
+        affected: List[int] = []
+        for name in sorted(os.listdir(stage_dir)):
             if not name.startswith("__bucket="):
                 continue
             b = int(name.split("=", 1)[1])
-            bdir = os.path.join(commit_dir, name)
-            for part in sorted(os.listdir(bdir)):
-                if part.endswith(".parquet"):
-                    new_files.append(
-                        {
-                            "path": os.path.join(commit_rel, name, part),
-                            "bucket": b,
-                        }
-                    )
+            affected.append(b)
+            up_dir = os.path.join(stage_dir, name, "__is_delete=false")
+            if os.path.isdir(up_dir):
+                staged_upserts[b] = [
+                    os.path.join(stage_rel, name, "__is_delete=false", part)
+                    for part in sorted(os.listdir(up_dir))
+                    if part.endswith(".parquet")
+                ]
+        affected.sort()
 
         if pre_commit is not None and not pre_commit():
             return {
@@ -288,6 +277,78 @@ class SnapTable:
                 "aborted": True,
                 "orphaned_dir": commit_rel,
             }
+
+        old_by_bucket: dict = {}
+        for f in man["files"]:
+            old_by_bucket.setdefault(f["bucket"], []).append(f)
+        rewrite_buckets = [b for b in affected if b in old_by_bucket]
+        fresh_buckets = [b for b in affected if b not in old_by_bucket]
+        keep_files = [
+            f for f in man["files"] if f["bucket"] not in set(rewrite_buckets)
+        ]
+
+        # fresh buckets: staged upsert files ARE the final files
+        new_files = [
+            {"path": rel, "bucket": b}
+            for b in fresh_buckets
+            for rel in staged_upserts.get(b, [])
+        ]
+
+        # ---- phase 2: rewrite only the buckets that have existing files
+        old_files: List[dict] = []
+        if rewrite_buckets:
+            old_files = [f for b in rewrite_buckets for f in old_by_bucket[b]]
+            old = self._read_files(old_files, schema).withColumn(
+                "__bucket", bucket_of
+            )
+            # explicit schema (incl. partition columns, typed): no footer
+            # schema-inference job, and __is_delete/__bucket come back as
+            # boolean/long rather than inferred partition strings
+            staged_schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("__is_delete", T.BooleanType()),
+                    T.StructField("__bucket", T.LongType()),
+                ]
+            )
+            staged = (
+                self.spark.read.schema(staged_schema)
+                .option("basePath", stage_dir)
+                .parquet(
+                    *[
+                        os.path.join(stage_dir, f"__bucket={b}")
+                        for b in rewrite_buckets
+                    ]
+                )
+            )
+            # survivors: old rows whose key is NOT in this delta (the staged
+            # key set covers upserts AND deletes); the per-epoch delta is
+            # small next to the table -> broadcast
+            delta_keys = staged.select(key).distinct()
+            survivors = old.join(F.broadcast(delta_keys), on=key, how="left_anti")
+            upserts = staged.filter(~F.col("__is_delete")).select(
+                *[F.col(f.name) for f in schema.fields], F.col("__bucket")
+            )
+            new_state = survivors.unionByName(upserts)
+            rw_rel = os.path.join(commit_rel, "rw")
+            rw_dir = os.path.join(self.path, rw_rel)
+            (
+                new_state.repartition(len(rewrite_buckets), "__bucket")
+                .sortWithinPartitions(key)
+                .write.mode("errorifexists")
+                .partitionBy("__bucket")
+                .parquet(rw_dir)
+            )
+            for name in sorted(os.listdir(rw_dir)):
+                if not name.startswith("__bucket="):
+                    continue
+                b = int(name.split("=", 1)[1])
+                bdir = os.path.join(rw_dir, name)
+                new_files.extend(
+                    {"path": os.path.join(rw_rel, name, part), "bucket": b}
+                    for part in sorted(os.listdir(bdir))
+                    if part.endswith(".parquet")
+                )
 
         man["files"] = keep_files + new_files
         man["last_committed_epoch"] = epoch

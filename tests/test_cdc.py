@@ -283,3 +283,46 @@ def test_pipeline_all_lww_strategies_match_oracle(
     assert set(got) == set(want)
     for d in want:
         assert got[d]["tokens"] == want[d]["tokens"]
+
+
+def test_epoch_job_counts(spark, tmp_path):
+    """The staged-delta MERGE folds every per-epoch side-scan into the write:
+    an epoch over fresh buckets commits in ONE Spark job (the stage write,
+    carrying all observe aggregates); an epoch rewriting existing buckets
+    adds the CoW rewrite (plus its broadcast-relation build). No pre-count,
+    no key-scan, no checkpoint, no schema-inference jobs.
+
+    AQE is disabled for the measurement: it splits one action into one job
+    per materialized query stage, which would obscure the action count
+    (production behavior is unchanged — AQE only re-plans, it adds no
+    scans)."""
+    path = str(tmp_path / "log")
+    write_changes(
+        spark,
+        ChangeGenConfig(
+            n_events=1_000, n_docs=40, batch_size=500, seed=11, p_extra_key=0.0
+        ),
+        path,
+    )
+    pipe = CdcPipeline(spark, path, str(tmp_path / "table"), num_buckets=4)
+    sc = spark.sparkContext
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    pipe.available_epochs()  # warm the once-per-pipeline log schema inference
+    try:
+        sc.setJobGroup("epoch0", "first load")
+        m0 = pipe.apply_epoch(0)
+        n0 = len(sc.statusTracker().getJobIdsForGroup("epoch0"))
+        sc.setJobGroup("epoch1", "rewrite")
+        m1 = pipe.apply_epoch(1)
+        n1 = len(sc.statusTracker().getJobIdsForGroup("epoch1"))
+    finally:
+        sc.setJobGroup("done", "done")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    assert not m0.skipped and not m1.skipped
+    assert m0.rows_in == 500 and m1.rows_in == 500
+    # epoch 0: empty table -> every touched bucket is fresh -> stage job only
+    assert n0 == 1, f"expected 1 job for the first-load epoch, got {n0}"
+    # epoch 1: with 40 hot docs over 4 buckets every bucket has files ->
+    # stage write + rewrite write + the rewrite's broadcast-key build
+    assert n1 <= 3, f"expected <=3 jobs for a rewrite epoch, got {n1}"

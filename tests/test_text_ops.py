@@ -191,3 +191,32 @@ def test_embedding_near_dup_pairs(spark, emb_df):
     pairs = embedding_near_dup_pairs(df, dim=dim, threshold=0.999).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 1_000_000) in found
+
+
+def test_lsh_index_lifecycle(spark, emb_df, tmp_path):
+    """build_lsh_index writes sig-partitioned storage; lsh_index_topk probes
+    it as a partition-pruned scan and agrees with the on-the-fly lsh_topk."""
+    from embulk_filter_expand_json_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+        lsh_topk,
+        read_lsh_index,
+    )
+
+    path = str(tmp_path / "ann_index")
+    dim = len(emb_df.first()["embedding"])
+    build_lsh_index(emb_df, dim=dim, path=path, n_bits=4)
+    q = list(emb_df.limit(1).collect()[0]["embedding"])
+
+    # plan gate: the probe scan must be partition-pruned on sig
+    probe = read_lsh_index(spark, path, q, n_bits=4, n_probes=8)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "sig" in plan.split("PartitionFilters")[1][:160]
+
+    got = lsh_index_topk(spark, path, q, k=10, n_bits=4, n_probes=8).collect()
+    fly = lsh_topk(emb_df, q, k=10, n_bits=4, n_probes=8).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in fly
+    ]
+    assert got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0
