@@ -88,6 +88,149 @@ def _expand_props_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnsRenamed({"k": "k_double", "k2": "k2_bool"})
 
 
+def _ts_json_doc(spark: SparkSession, sf_dir: str, with_fraction: bool):
+    """Deterministic JSON docs derived from events: a wall-clock timestamp
+    built by pure integer arithmetic (session-timezone-independent), a
+    nested json object, and a planted invalid fraction (every 17th row gets
+    an unparseable timestamp -> the invalid-record drop channel)."""
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    base = F.format_string(
+        "2024-03-%02d %02d:%02d:%02d",
+        (eid % 28 + 1).cast("int"),
+        (eid % 24).cast("int"),
+        (eid % 60).cast("int"),
+        ((eid * 7) % 60).cast("int"),
+    )
+    if with_fraction:
+        # 9 fractional digits: exercises the Embulk-ns -> Spark-us truncation
+        base = F.concat(
+            base, F.lit("."), F.lpad((eid % 1000000).cast("string"), 6, "0"),
+            F.lit("789"),
+        )
+    t_str = F.when(eid % 17 == 0, F.lit("BROKEN")).otherwise(base)
+    payload = F.concat(
+        F.lit('{"t":"'), t_str,
+        F.lit('","j":{"a":"'), F.col("event_type"),
+        F.lit('","b":'), F.col("user_id").cast("string"), F.lit("}}"),
+    )
+    return ev.select("event_id", payload.alias("payload"))
+
+
+def _expand_ts_json_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-path hard verification of the timestamp cast (per-column
+    timezone Asia/Tokyo + %N nanosecond truncation), the json cast
+    (canonical compact text), and the invalid-record drop (planted BROKEN
+    rows vanish). Timestamps compared as epoch micros so the oracle hash is
+    timezone-rendering-independent."""
+    from embulk_filter_expand_json_spark import expand_json
+
+    out = expand_json(
+        _ts_json_doc(spark, sf_dir, with_fraction=True),
+        {
+            "json_column_name": "payload",
+            "expanded_columns": [
+                {
+                    "name": "t",
+                    "type": "timestamp",
+                    "format": "%Y-%m-%d %H:%M:%S.%N",
+                    "timezone": "Asia/Tokyo",
+                },
+                {"name": "j", "type": "json"},
+            ],
+            "stop_on_invalid_record": False,
+        },
+        mode="arrow",
+    )
+    return out.select("event_id", F.unix_micros("t").alias("t_us"), "j")
+
+
+def _expand_ts_json_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-path twin of expand_ts_json_arrow (whole-second format —
+    the fraction-free format is Catalyst-translatable); same oracle shape:
+    per-column timezone + json cast + invalid drop, zero Python."""
+    from embulk_filter_expand_json_spark import expand_json
+
+    out = expand_json(
+        _ts_json_doc(spark, sf_dir, with_fraction=False),
+        {
+            "json_column_name": "payload",
+            "expanded_columns": [
+                {
+                    "name": "t",
+                    "type": "timestamp",
+                    "format": "%Y-%m-%d %H:%M:%S",
+                    "timezone": "Asia/Tokyo",
+                },
+                {"name": "j", "type": "json"},
+            ],
+            "stop_on_invalid_record": False,
+        },
+        mode="catalyst",
+    )
+    return out.select("event_id", F.unix_micros("t").alias("t_us"), "j")
+
+
+def _expand_struct_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json-typed (parsed struct) source column — the reference accepts
+    json-typed input and re-serializes (ExpandJsonFilterPlugin.java:114-119;
+    FilteredPageOutput.java:324-332); the Spark analog is a StructType
+    column expanded through implicit to_json."""
+    from embulk_filter_expand_json_spark import expand_json
+
+    src = _events(spark, sf_dir).select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.col("event_type").alias("etype"),
+        ).alias("payload"),
+    )
+    return expand_json(
+        src,
+        {
+            "json_column_name": "payload",
+            "expanded_columns": [
+                {"name": "uid", "type": "long"},
+                {"name": "etype", "type": "string"},
+            ],
+        },
+        mode="catalyst",
+    )
+
+
+def _expand_lineitem_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expansion operator over TPC-H lineitem width/scale (6M rows at
+    sf1): JSON-ify four columns, expand them back — a round-trip oracle on
+    the largest table in the testdata."""
+    from embulk_filter_expand_json_spark import expand_json
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    src = li.select(
+        "l_suppkey",
+        F.to_json(
+            F.struct(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_returnflag").alias("rf"),
+                F.col("l_linestatus").alias("ls"),
+            )
+        ).alias("payload"),
+    )
+    return expand_json(
+        src,
+        {
+            "json_column_name": "payload",
+            "expanded_columns": [
+                {"name": "ok", "type": "long"},
+                {"name": "ln", "type": "long"},
+                {"name": "rf", "type": "string"},
+                {"name": "ls", "type": "string"},
+            ],
+        },
+        mode="catalyst",
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC operators
 # ---------------------------------------------------------------------------
@@ -236,30 +379,65 @@ def _exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     g = exact_dup_groups(_documents(spark, sf_dir))
-    return g.select(
-        "fp",
-        "n_dups",
-        F.element_at("doc_ids", 1).alias("min_id"),
-        F.element_at("doc_ids", -1).alias("max_id"),
+    return g.select("fp", "n_dups", "min_id", "max_id")
+
+
+def _docs_with_planted_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents UNION deterministic planted near-dups: every 50th doc gets
+    a clone (id+1_000_000) with ' zzz' appended — char-5-gram Jaccard ~0.98
+    against its source, far above the 0.8 threshold, so LSH recall on the
+    planted pairs is effectively guaranteed ((1-0.98^4)^16 ~ 1e-15)."""
+    base = _documents(spark, sf_dir).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
+    return base.unionByName(planted)
 
 
 def _minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates -> EXACT shingle-Jaccard verification, over documents
+    plus planted near-dups. Deterministic (fixed xxhash64 seeds) and
+    hard-verified: the DuckDB oracle computes ALL-pairs exact Jaccard >= the
+    threshold, so both LSH recall and the verifier must be right."""
     from embulk_filter_expand_json_spark.operators.dedup_text import (
         minhash_lsh_pairs,
     )
 
     return minhash_lsh_pairs(
-        _documents(spark, sf_dir), num_hashes=64, bands=16, threshold=0.8
+        _docs_with_planted_near_dups(spark, sf_dir),
+        num_hashes=64,
+        bands=16,
+        threshold=0.8,
+        verify="exact",
     )
 
 
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidates (Hamming <= 3 via the pigeonhole chunk join) ->
+    exact shingle-Jaccard >= 0.9 verification, RESTRICTED to the planted
+    clone pairs (id_b = id_a + 1e6). Planted clones differ only in trailing
+    whitespace: identical token stream (Hamming 0, candidacy guaranteed)
+    but ~1 extra shingle (Jaccard ~0.99), so the oracle — the same planted
+    pairs by exact SQL Jaccard — must agree exactly. The unrestricted
+    organic sweep is pytest-pinned (tests/test_text_ops.py): Hamming(simhash)
+    is a token-frequency similarity, not a shingle-Jaccard bound, so an
+    all-pairs Jaccard oracle is not its contract."""
     from embulk_filter_expand_json_spark.operators.dedup_text import (
+        ngram_jaccard_pairs,
         simhash_near_dup_pairs,
     )
 
-    return simhash_near_dup_pairs(_documents(spark, sf_dir), max_hamming=3)
+    base = _documents(spark, sf_dir).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),
+    )
+    un = base.unionByName(planted)
+    cand = simhash_near_dup_pairs(un, max_hamming=3).select("id_a", "id_b")
+    return ngram_jaccard_pairs(un, cand, threshold=0.9).filter(
+        F.col("id_b") - F.col("id_a") == 1_000_000
+    )
 
 
 def _knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,12 +448,57 @@ def _knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, q, k=10)
 
 
-def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from embulk_filter_expand_json_spark.operators.similarity import lsh_topk
+def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings UNION planted near-dup vectors: every 50th vector scaled
+    by 1.0001 under a new id. Scaling preserves cosine (1.0) and the
+    random-hyperplane signature (margins scale positively), so the planted
+    pairs are guaranteed LSH-co-bucketed and dominate any organic pair (the
+    synthetic embeddings' best non-self cosine is ~0.33)."""
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    return emb.unionByName(planted)
 
-    emb = _embeddings(spark, sf_dir)
+
+def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k through the FULL index lifecycle: build_lsh_index writes a
+    sig-partitioned index, lsh_index_topk probes it partition-pruned. Nine
+    planted scaled copies of the query vector (+ the query itself) form the
+    exact top-10 at cosine 1.0, so the oracle is the brute-force top-10 over
+    the union — probing must find them all."""
+    from embulk_filter_expand_json_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+    )
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
     q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
-    return lsh_topk(emb, q, k=10, n_bits=4, n_probes=8)
+    planted = (
+        spark.range(1, 10)
+        .crossJoin(emb.filter(F.col("vec_id") == 0).select("embedding"))
+        .select(
+            (F.col("id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x * (F.lit(1.0) + F.col("id") / F.lit(10000.0)),
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+    )
+    un = emb.unionByName(planted)
+    work = tempfile.mkdtemp(prefix="ann_index_")
+    try:
+        path = os.path.join(work, "index")
+        build_lsh_index(un, dim=len(q), path=path, n_bits=4)
+        out = lsh_index_topk(spark, path, q, k=10, n_bits=4, n_probes=8)
+        return spark.createDataFrame(out.collect(), out.schema)  # detach
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,9 +506,9 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_near_dup_pairs,
     )
 
-    emb = _embeddings(spark, sf_dir)
-    dim = len(emb.first()["embedding"])
-    return embedding_near_dup_pairs(emb, dim=dim, threshold=0.99)
+    un = _emb_with_planted(spark, sf_dir)
+    dim = len(un.first()["embedding"])
+    return embedding_near_dup_pairs(un, dim=dim, threshold=0.99)
 
 
 # ---------------------------------------------------------------------------
@@ -345,6 +568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expand_props_long_arrow": _expand_props_long_arrow,
         "expand_props_keep_and_missing": _expand_props_keep_and_missing,
         "expand_props_types": _expand_props_types,
+        "expand_ts_json_arrow": _expand_ts_json_arrow,
+        "expand_ts_json_catalyst": _expand_ts_json_catalyst,
+        "expand_struct_source": _expand_struct_source,
+        "expand_lineitem_json": _expand_lineitem_json,
         "lww_dedup_window": _lww_window,
         "lww_dedup_agg": _lww_agg,
         "lww_dedup_salted": _lww_salted,
@@ -371,9 +598,99 @@ def oracle_sql() -> dict[str, str]:
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events
     """
+    # shared CTE text for the planted-near-dup document union + shingle sets
+    docs_shingles = """
+        WITH uni AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || '{suffix}' AS text
+          FROM documents WHERE doc_id % 50 = 0
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   list_transform(generate_series(1, length(norm) - 4),
+                                  i -> norm[i:i+4])) AS s
+          FROM (SELECT doc_id,
+                       lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+                FROM uni)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id
+         AND least(len(a.s), len(b.s))::DOUBLE
+             >= {threshold} * greatest(len(a.s), len(b.s))
+         {extra_pred}
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))) >= {threshold}
+    """
+    ts_json = """
+        SELECT event_id,
+               epoch_us(timezone('Asia/Tokyo',
+                 make_timestamp(2024, 3,
+                   (event_id % 28 + 1)::INT, (event_id % 24)::INT,
+                   (event_id % 60)::INT, ((event_id * 7) % 60)::INT)))
+               {frac_us} AS t_us,
+               '{{"a":"' || event_type || '","b":' || user_id || '}}' AS j
+        FROM events WHERE event_id % 17 <> 0
+    """
     return {
         "expand_props_long": expand_long,
         "expand_props_long_arrow": expand_long,
+        "expand_ts_json_arrow": ts_json.format(frac_us="+ (event_id % 1000000)"),
+        "expand_ts_json_catalyst": ts_json.format(frac_us=""),
+        "expand_struct_source": """
+            SELECT event_id, user_id AS uid, event_type AS etype FROM events
+        """,
+        "expand_lineitem_json": """
+            SELECT l_suppkey, l_orderkey AS ok,
+                   CAST(l_linenumber AS BIGINT) AS ln,
+                   l_returnflag AS rf, l_linestatus AS ls
+            FROM lineitem
+        """,
+        "minhash_near_dups": docs_shingles.format(
+            suffix=" zzz", threshold=0.8, extra_pred=""
+        ),
+        "simhash_near_dups": docs_shingles.format(
+            suffix="  ",
+            threshold=0.9,
+            extra_pred="AND b.doc_id - a.doc_id = 1000000",
+        ),
+        "knn_lsh": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            uni AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+              UNION ALL
+              SELECT 1000000 + i AS vec_id,
+                     list_transform(
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0),
+                       x -> CAST(x * (1.0 + i / 10000.0) AS FLOAT))::DOUBLE[]
+              FROM generate_series(1, 9) t(i)
+            )
+            SELECT vec_id, round(list_cosine_similarity(emb, q.qv), 6) AS cosine
+            FROM uni, q
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_near_dups": """
+            WITH uni AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(x * 1.0001 AS FLOAT)) AS embedding
+              FROM embeddings WHERE vec_id % 50 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.99
+        """,
         "expand_props_keep_and_missing": """
             SELECT event_id, ts, user_id, event_type, value, props,
                    json_extract_string(props, '$.k') AS k,
@@ -466,6 +783,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
         """,
+        # (near-dup/ANN queries now have hard oracles above: the planted
+        # fixtures make the fixed-seed LSH/SimHash candidate generation
+        # deterministic AND all-pairs-verifiable in SQL)
         "knn_bruteforce": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
@@ -474,11 +794,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
         """,
-        # no oracle (rows-only): cdc_replay_state (stateful multi-step; parity
-        # proven in tests/test_cdc.py vs the pure-Python interpreter),
-        # minhash_near_dups / simhash_near_dups / knn_lsh /
-        # embedding_near_dups (hash-randomized candidate generation is not
-        # ANSI-SQL-expressible; correctness pinned by tests/test_text_ops.py
-        # planted-duplicate fixtures and the exact-jaccard / brute-force
-        # cross-checks)
+        # no oracle (rows-only): ONLY the two stateful replays —
+        # cdc_replay_state and streaming_replay_state (multi-step exactly-once
+        # MERGE state; parity proven in tests/test_cdc.py token-array-equality
+        # vs the pure-Python interpreter)
     }

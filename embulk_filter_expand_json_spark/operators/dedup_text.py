@@ -94,18 +94,23 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """-> (id, minhash: array<long>[num_hashes]). Pure Catalyst:
-    min over xxhash64(shingle, seed_i) per hash function."""
+    min over xxhash64(shingle, seed_i) per hash function.
+
+    NOTE the closure shape: the per-hash seed must be captured by an OUTER
+    function, not a lambda default argument — ``lambda s, i=i: ...`` is a
+    two-parameter lambda, and PySpark's higher-order functions treat any
+    2-arg callable as the (element, index) form, silently binding ``i`` to
+    the array position instead of the seed (which collapses all
+    ``num_hashes`` functions into one — caught by the minhash_near_dups
+    DuckDB oracle)."""
     shingles = F.array_distinct(char_ngrams(F.col(text_col), shingle_size))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__sh"), lambda s, i=i: F.xxhash64(s, F.lit(seed + i))
-                )
-            )
-            for i in range(num_hashes)
-        ]
-    )
+
+    def one_hash(i: int):
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(seed + i)))
+        )
+
+    sig = F.array(*[one_hash(i) for i in range(num_hashes)])
     return (
         df.select(F.col(id_col), shingles.alias("__sh"))
         .filter(F.size("__sh") > 0)
