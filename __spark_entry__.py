@@ -2,9 +2,12 @@
 
 ``entry(spark)`` smoke-runs the flagship expansion on sf0.001;
 ``queries()``/``oracle_sql()`` pair every implemented operator with a DuckDB
-oracle at sf0.01 (row-count + schema + value-hash compare). Non-SQL ops
-(the CDC replay) omit the oracle -> rows-only check; their real correctness
+oracle at sf0.01 (row-count + schema + value-hash compare): 23 of 25 queries
+are hard-verified, including the near-dup/ANN family via deterministic
+planted fixtures derived in-query. Only the two stateful replays
+(cdc_replay_state, streaming_replay_state) are rows-only; their correctness
 gate is tests/test_cdc.py's token-array-equality vs the pure-Python oracle.
+Local replica of the driver compare: scripts/check_contract.py.
 """
 
 from __future__ import annotations

@@ -93,6 +93,36 @@ def main() -> None:
             F.sum("k")
         ).collect(),
     )
+    # expansion at TPC-H lineitem width/scale (6M rows at sf1): JSON-ify four
+    # columns, expand them back — the operator on the largest input table
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li_src = li.select(
+        F.to_json(
+            F.struct(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_returnflag").alias("rf"),
+                F.col("l_linestatus").alias("ls"),
+            )
+        ).alias("payload")
+    )
+    li_cfg = {
+        "json_column_name": "payload",
+        "expanded_columns": [
+            {"name": "ok", "type": "long"},
+            {"name": "ln", "type": "long"},
+            {"name": "rf", "type": "string"},
+            {"name": "ls", "type": "string"},
+        ],
+    }
+    li_src.count()  # materialize input stats outside the timing
+    timed(
+        "expand_lineitem",
+        lambda: expand_json(li_src, li_cfg, mode="catalyst").agg(
+            F.sum("ok")
+        ).collect(),
+    )
+
     lww_in = events.select("user_id", "event_id", "event_type", "value")
     timed(
         "lww_agg",

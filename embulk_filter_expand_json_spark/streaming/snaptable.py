@@ -15,12 +15,20 @@ primitives — the protocol is what Iceberg itself does:
   are applied in order, and re-applying an already-committed epoch is a
   no-op (verified by tests). This is Iceberg's snapshot-summary-property
   idempotence pattern.
-- **Copy-on-write MERGE**: rows live in ``num_buckets`` hash buckets of the
-  merge key. A MERGE rewrites only the buckets its delta touches:
-  survivors = old-rows ANTI-JOIN delta-keys (delta broadcast — per-epoch
-  deltas are small next to the table), union upserts, rewritten per bucket.
-  Untouched buckets' files carry over to the new manifest verbatim — the
-  file-level pruning that makes 10^10-event replay tractable.
+- **MERGE = merge-on-read with incremental compaction**: rows live in
+  ``num_buckets`` hash buckets of the merge key. An epoch's (deduped) delta
+  is staged bucket-partitioned in ONE job; per bucket the commit then either
+  DEFERS (registers the staged files as delta entries — readers resolve
+  base ∪ deltas by commit sequence with delete suppression) or COMPACTS
+  (folds base + delta stack into new base files when the stack exceeds
+  ``mor_rewrite_ratio`` of the base bytes or ``max_delta_files_per_bucket``).
+  Deferral caps write amplification at ~delta size (the Iceberg MoR trade);
+  the per-bucket compaction trigger bounds read amplification, so no
+  separate maintenance scheduler is needed. Compaction never shuffles base
+  rows: delta winners resolve in a window over the (small) delta stack,
+  then broadcast-anti-join against base. Untouched buckets' files carry
+  over to the new manifest verbatim — the file-level pruning that makes
+  10^10-event replay tractable.
 - **Additive schema evolution**: the manifest owns the table schema; adding
   a column bumps the manifest only. Old files are read through
   ``spark.read.schema(...)`` which null-fills missing columns.
@@ -155,14 +163,68 @@ class SnapTable:
     def read(self, version: Optional[int] = None) -> DataFrame:
         """Current state, or time-travel to any retained snapshot version
         (every manifest is immutable; old data files are never deleted
-        except by expire_snapshots-style GC, not implemented here)."""
+        except by expire_snapshots-style GC, not implemented here).
+
+        Merge-on-read: when the manifest carries delta files (deferred
+        small-epoch commits), the state is base UNION deltas with
+        last-writer-wins by commit sequence and delete-row suppression —
+        one window shuffle at read time, bounded because merge() force-
+        compacts any bucket whose delta stack exceeds the table's
+        ``max_delta_files_per_bucket``."""
         man = self.manifest(version)
         schema = T.StructType.fromJson(man["schema"])
-        paths = [os.path.join(self.path, f["path"]) for f in man["files"]]
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        # explicit schema: evolved columns missing in old files read as null
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._state_df(man, schema)
+
+    def _state_df(
+        self,
+        man: dict,
+        schema: T.StructType,
+        buckets: Optional[List[int]] = None,
+        extra_deltas: Optional[List[dict]] = None,
+    ) -> DataFrame:
+        """Merged current state for ``buckets`` (all when None): base files
+        plus delta files (plus not-yet-committed ``extra_deltas``), resolved
+        by (seq desc) per key, delete rows suppressed."""
+        files = man["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        base_files = [f for f in files if f.get("kind", "base") == "base"]
+        delta_files = [f for f in files if f.get("kind") == "delta"]
+        if extra_deltas:
+            delta_files = delta_files + list(extra_deltas)
+
+        base = self._read_files(base_files, schema)
+        if not delta_files:
+            return base
+        seq_col = "__seq"
+        del_col = "__mor_del"
+        parts = [
+            base.withColumn(seq_col, F.lit(0).cast("long")).withColumn(
+                del_col, F.lit(False)
+            )
+        ]
+        groups: dict = {}
+        for f in delta_files:
+            groups.setdefault((f["seq"], bool(f["delete"])), []).append(f)
+        for (seq, is_del), fs in sorted(groups.items()):
+            parts.append(
+                self._read_files(fs, schema)
+                .withColumn(seq_col, F.lit(seq).cast("long"))
+                .withColumn(del_col, F.lit(is_del))
+            )
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        key = man["key"]
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(F.desc(seq_col))
+        return (
+            union.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (~F.col(del_col)))
+            .drop("__rn", seq_col, del_col)
+        )
 
     def _read_files(self, files: List[dict], schema: T.StructType) -> DataFrame:
         paths = [os.path.join(self.path, f["path"]) for f in files]
@@ -253,23 +315,26 @@ class SnapTable:
             .parquet(stage_dir)
         )
 
-        # touched buckets + staged upsert files from the directory listing
-        # (a manifest-sized filesystem walk, no Spark job)
-        staged_upserts: dict = {}  # bucket -> [relpath, ...]
-        affected: List[int] = []
+        # touched buckets + staged files (with sizes) from the directory
+        # listing (a manifest-sized filesystem walk, no Spark job)
+        staged: dict = {}  # bucket -> {False: [(rel, bytes)], True: [...]}
         for name in sorted(os.listdir(stage_dir)):
             if not name.startswith("__bucket="):
                 continue
             b = int(name.split("=", 1)[1])
-            affected.append(b)
-            up_dir = os.path.join(stage_dir, name, "__is_delete=false")
-            if os.path.isdir(up_dir):
-                staged_upserts[b] = [
-                    os.path.join(stage_rel, name, "__is_delete=false", part)
-                    for part in sorted(os.listdir(up_dir))
-                    if part.endswith(".parquet")
-                ]
-        affected.sort()
+            staged[b] = {False: [], True: []}
+            for flag, sub in ((False, "false"), (True, "true")):
+                d = os.path.join(stage_dir, name, f"__is_delete={sub}")
+                if os.path.isdir(d):
+                    for part in sorted(os.listdir(d)):
+                        if part.endswith(".parquet"):
+                            rel = os.path.join(
+                                stage_rel, name, f"__is_delete={sub}", part
+                            )
+                            staged[b][flag].append(
+                                (rel, os.path.getsize(os.path.join(self.path, rel)))
+                            )
+        affected = sorted(staged)
 
         if pre_commit is not None and not pre_commit():
             return {
@@ -278,58 +343,126 @@ class SnapTable:
                 "orphaned_dir": commit_rel,
             }
 
-        old_by_bucket: dict = {}
+        base_by_bucket: dict = {}
+        deltas_by_bucket: dict = {}
         for f in man["files"]:
-            old_by_bucket.setdefault(f["bucket"], []).append(f)
-        rewrite_buckets = [b for b in affected if b in old_by_bucket]
-        fresh_buckets = [b for b in affected if b not in old_by_bucket]
-        keep_files = [
-            f for f in man["files"] if f["bucket"] not in set(rewrite_buckets)
-        ]
+            if f.get("kind") == "delta":
+                deltas_by_bucket.setdefault(f["bucket"], []).append(f)
+            else:
+                base_by_bucket.setdefault(f["bucket"], []).append(f)
 
-        # fresh buckets: staged upsert files ARE the final files
-        new_files = [
-            {"path": rel, "bucket": b}
-            for b in fresh_buckets
-            for rel in staged_upserts.get(b, [])
-        ]
+        def _bytes(entry: dict) -> int:
+            if "bytes" in entry:
+                return entry["bytes"]
+            return os.path.getsize(os.path.join(self.path, entry["path"]))
 
-        # ---- phase 2: rewrite only the buckets that have existing files
-        old_files: List[dict] = []
-        if rewrite_buckets:
-            old_files = [f for b in rewrite_buckets for f in old_by_bucket[b]]
-            old = self._read_files(old_files, schema).withColumn(
-                "__bucket", bucket_of
-            )
-            # explicit schema (incl. partition columns, typed): no footer
-            # schema-inference job, and __is_delete/__bucket come back as
-            # boolean/long rather than inferred partition strings
-            staged_schema = T.StructType(
-                list(schema.fields)
-                + [
-                    T.StructField("__is_delete", T.BooleanType()),
-                    T.StructField("__bucket", T.LongType()),
-                ]
-            )
-            staged = (
-                self.spark.read.schema(staged_schema)
-                .option("basePath", stage_dir)
-                .parquet(
-                    *[
-                        os.path.join(stage_dir, f"__bucket={b}")
-                        for b in rewrite_buckets
-                    ]
+        props = man.get("properties", {})
+        mor_ratio = float(props.get("mor_rewrite_ratio", 0.2))
+        max_delta = int(props.get("max_delta_files_per_bucket", 8))
+        new_seq = man["version"] + 1
+
+        # ---- phase 2 decision, per touched bucket (merge-on-read):
+        # - fresh bucket (no base, no deltas): staged upserts ARE the base
+        # - small delta vs the bucket's base: DEFER — register the staged
+        #   files as delta entries; readers merge them (one job per epoch,
+        #   write amplification ~delta-sized, the Iceberg MoR trade)
+        # - delta stack too big (bytes ratio or file count): COMPACT the
+        #   bucket now — fold base + deltas + this delta into new base files
+        #   (bounds read amplification; this is incremental compaction, no
+        #   separate maintenance job needed)
+        new_files: List[dict] = []
+        rewrite_buckets: List[int] = []
+        deferred_buckets: List[int] = []
+        for b in affected:
+            has_history = b in base_by_bucket or b in deltas_by_bucket
+            st_up, st_del = staged[b][False], staged[b][True]
+            if not has_history:
+                new_files.extend(
+                    {"path": rel, "bucket": b, "bytes": sz} for rel, sz in st_up
                 )
+                continue
+            staged_bytes = sum(sz for _, sz in st_up + st_del)
+            delta_bytes = staged_bytes + sum(
+                _bytes(f) for f in deltas_by_bucket.get(b, [])
             )
-            # survivors: old rows whose key is NOT in this delta (the staged
-            # key set covers upserts AND deletes); the per-epoch delta is
-            # small next to the table -> broadcast
-            delta_keys = staged.select(key).distinct()
-            survivors = old.join(F.broadcast(delta_keys), on=key, how="left_anti")
-            upserts = staged.filter(~F.col("__is_delete")).select(
-                *[F.col(f.name) for f in schema.fields], F.col("__bucket")
+            base_bytes = sum(_bytes(f) for f in base_by_bucket.get(b, []))
+            n_delta_files = (
+                len(deltas_by_bucket.get(b, [])) + len(st_up) + len(st_del)
             )
-            new_state = survivors.unionByName(upserts)
+            if delta_bytes >= mor_ratio * max(base_bytes, 1) or (
+                n_delta_files > max_delta
+            ):
+                rewrite_buckets.append(b)
+            else:
+                deferred_buckets.append(b)
+                for is_del, fs in ((False, st_up), (True, st_del)):
+                    new_files.extend(
+                        {
+                            "path": rel,
+                            "bucket": b,
+                            "bytes": sz,
+                            "kind": "delta",
+                            "seq": new_seq,
+                            "delete": is_del,
+                        }
+                        for rel, sz in fs
+                    )
+
+        dropped = set(rewrite_buckets)
+        keep_files = [f for f in man["files"] if f["bucket"] not in dropped]
+
+        # ---- phase 3: compaction-rewrite of the chosen buckets (one job).
+        # Delta rows (existing delta files + this epoch's staged files) are
+        # small — resolve last-writer-wins among them with a window, then
+        # broadcast-anti-join against base so base rows are NEVER shuffled.
+        files_rewritten = 0
+        if rewrite_buckets:
+            files_rewritten = sum(
+                len(base_by_bucket.get(b, [])) + len(deltas_by_bucket.get(b, []))
+                for b in rewrite_buckets
+            )
+            base = self._read_files(
+                [f for b in rewrite_buckets for f in base_by_bucket.get(b, [])],
+                schema,
+            )
+            delta_entries = [
+                f for b in rewrite_buckets for f in deltas_by_bucket.get(b, [])
+            ] + [
+                {"path": rel, "bucket": b, "seq": new_seq, "delete": is_del}
+                for b in rewrite_buckets
+                for is_del, fs in ((False, staged[b][False]), (True, staged[b][True]))
+                for rel, _sz in fs
+            ]
+            groups: dict = {}
+            for f in delta_entries:
+                groups.setdefault((f["seq"], bool(f["delete"])), []).append(f)
+            parts = []
+            for (seq, is_del), fs in sorted(groups.items()):
+                parts.append(
+                    self._read_files(fs, schema)
+                    .withColumn("__seq", F.lit(seq).cast("long"))
+                    .withColumn("__mor_del", F.lit(is_del))
+                )
+            deltas_df = parts[0]
+            for p in parts[1:]:
+                deltas_df = deltas_df.unionByName(p)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(key).orderBy(F.desc("__seq"))
+            winners = (
+                deltas_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__seq")
+            )
+            survivors = base.join(
+                F.broadcast(winners.select(key).distinct()), on=key, how="left_anti"
+            ).withColumn("__mor_del", F.lit(False))
+            new_state = (
+                survivors.unionByName(winners)
+                .filter(~F.col("__mor_del"))
+                .drop("__mor_del")
+                .withColumn("__bucket", bucket_of)
+            )
             rw_rel = os.path.join(commit_rel, "rw")
             rw_dir = os.path.join(self.path, rw_rel)
             (
@@ -345,7 +478,11 @@ class SnapTable:
                 b = int(name.split("=", 1)[1])
                 bdir = os.path.join(rw_dir, name)
                 new_files.extend(
-                    {"path": os.path.join(rw_rel, name, part), "bucket": b}
+                    {
+                        "path": os.path.join(rw_rel, name, part),
+                        "bucket": b,
+                        "bytes": os.path.getsize(os.path.join(bdir, part)),
+                    }
                     for part in sorted(os.listdir(bdir))
                     if part.endswith(".parquet")
                 )
@@ -361,7 +498,8 @@ class SnapTable:
             "skipped": False,
             "version": version,
             "buckets_touched": len(affected),
-            "files_rewritten": len(old_files),
+            "buckets_deferred": len(deferred_buckets),
+            "files_rewritten": files_rewritten,
             "files_written": len(new_files),
         }
 
@@ -377,7 +515,9 @@ class SnapTable:
         num_buckets = man["num_buckets"]
         if not man["files"]:
             return {"compacted": False, "reason": "empty table"}
-        df = self._read_files(man["files"], schema).withColumn(
+        # merged state: folds any outstanding MoR delta files into the new
+        # base files (full-table compaction clears the whole delta stack)
+        df = self._state_df(man, schema).withColumn(
             "__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets))
         )
         commit_rel = os.path.join(

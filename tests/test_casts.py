@@ -131,3 +131,40 @@ def test_cast_timestamp_time_only_uses_default_date():
     )
     assert str(vals[0]) == "2016-02-03 04:44:33+00:00"
     assert not err.any()
+
+
+def test_timestamp_epoch_seconds_format():
+    """Ruby %s: integer epoch seconds, timezone-independent."""
+    import pandas as pd
+
+    from embulk_filter_expand_json_spark.functions.timefmt import (
+        parse_timestamp_series,
+    )
+
+    p, e = parse_timestamp_series(
+        pd.Series(["1700000000", "x", None]), "%s", "Asia/Tokyo", "1970-01-01"
+    )
+    assert str(p[0]) == "2023-11-14 22:13:20+00:00"
+    assert list(e) == [False, True, False]
+
+
+def test_timestamp_width_modified_fraction_truncates():
+    """%9N / %03L (width-modified Ruby fraction tokens) must truncate to
+    microseconds like plain %N — not push nanoseconds into the Series (which
+    crashes the pandas->Arrow conversion)."""
+    import pandas as pd
+
+    from embulk_filter_expand_json_spark.functions.timefmt import (
+        parse_timestamp_series,
+    )
+
+    p, e = parse_timestamp_series(
+        pd.Series(["12:34:56.123456789"]),
+        "%H:%M:%S.%9N",
+        "UTC",
+        "1970-01-01",
+    )
+    assert str(p[0]) == "1970-01-01 12:34:56.123456+00:00"
+    assert not e[0]
+    # the parsed series must be microsecond-clean (floor applied)
+    assert (p.dt.nanosecond == 0).all()

@@ -347,3 +347,33 @@ def test_metrics_invalid_count_and_drop(spark, mode):
     assert sorted(r["n"] for r in rows) == [1, 2]
     if mode == "arrow":
         assert acc.value == 2
+
+
+def test_expand_struct_source_both_paths(spark):
+    """json-typed (parsed) source column: struct expanded via implicit
+    to_json on both physical paths; kept source stays its parsed type."""
+    from pyspark.sql import functions as F
+
+    from embulk_filter_expand_json_spark import expand_json
+
+    df = spark.range(3).select(
+        F.col("id"),
+        F.struct(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("name"),
+            (F.col("id") * 10).alias("score"),
+        ).alias("payload"),
+    )
+    cfg = {
+        "json_column_name": "payload",
+        "keep_expanding_json_column": True,
+        "expanded_columns": [
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "long"},
+        ],
+    }
+    for mode in ("catalyst", "arrow"):
+        out = expand_json(df, cfg, mode=mode).orderBy("id").collect()
+        assert [(r["name"], r["score"]) for r in out] == [
+            ("u0", 0), ("u1", 10), ("u2", 20)
+        ], mode
+        assert out[0]["payload"]["name"] == "u0"  # struct passthrough kept

@@ -159,3 +159,28 @@ def test_syntax_errors():
 def test_field_on_non_object_dropped():
     assert read("$.n.x") is None
     assert read("$._j7.store.book[*].author.title") == []
+
+
+def test_filter_ident_trims_at_operators():
+    # '[?(@.price<10)]' without spaces is legal Jayway — ident stops at '<'
+    from embulk_filter_expand_json_spark.functions.jsonpath import compile_path
+
+    cp = compile_path("$.items[?(@.price<10)].name")
+    doc = {"items": [{"price": 5, "name": "a"}, {"price": 50, "name": "b"}]}
+    assert cp.read(doc) == ["a"]
+
+
+def test_filter_ambiguous_ident_raises():
+    # a field literally named 'a<b' cannot be expressed unquoted — like
+    # Jayway we error instead of silently evaluating the prefix field 'a'
+    from embulk_filter_expand_json_spark.functions.jsonpath import (
+        JsonPathSyntaxError,
+        compile_path,
+    )
+    import pytest
+
+    with pytest.raises(JsonPathSyntaxError):
+        compile_path("$.items[?(@.a<b)]")
+    # bracket-quoting such names works
+    cp = compile_path("$.items[?(@['a<b'] == 1)].name")
+    assert cp.read({"items": [{"a<b": 1, "name": "x"}, {"a<b": 2}]}) == ["x"]

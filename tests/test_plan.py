@@ -172,3 +172,51 @@ def test_timestamp_options_resolution():
 def test_malformed_policy_validation():
     with pytest.raises(ConfigException, match="malformed_json_policy"):
         ExpandConfig.from_dict(cfg(malformed_json_policy="bogus"))
+
+
+def test_config_json_typed_sources_accepted():
+    """Struct/map/array sources are the Spark analog of Embulk's json-typed
+    input column (ExpandJsonFilterPlugin.java:114-119) — accepted and
+    re-serialized via to_json; other types still rejected."""
+    for dt in (
+        T.StructType([T.StructField("a", T.LongType())]),
+        T.MapType(T.StringType(), T.StringType()),
+        T.ArrayType(T.LongType()),
+    ):
+        schema = T.StructType([T.StructField("_c0", dt)])
+        plan = plan_expansion(ExpandConfig.from_dict(cfg()), schema)
+        assert plan.source_is_json_typed
+    str_plan = plan_expansion(ExpandConfig.from_dict(cfg()), SCHEMA)
+    assert not str_plan.source_is_json_typed
+
+
+def test_config_user_cache_provider_class():
+    """Reference parity: a user-provided provider class loads by reflection
+    (testUseUserDefiledCacheProvider, TestExpandJsonFilterPlugin.java:355-372)
+    — our analog accepts any importable dotted path."""
+    plan_expansion(
+        ExpandConfig.from_dict(cfg(cache_provider="json.JSONDecoder")), SCHEMA
+    )
+    with pytest.raises(ConfigException, match="not supported"):
+        plan_expansion(
+            ExpandConfig.from_dict(cfg(cache_provider="no.such.Provider")),
+            SCHEMA,
+        )
+
+
+def test_timestamp_format_validated_at_plan_time():
+    """An unsupported Ruby strftime token must fail in plan_expansion (the
+    reference's transaction() phase), never as an executor-side error."""
+    bad = cfg()
+    bad["expanded_columns"] = [
+        {"name": "t", "type": "timestamp", "format": "%C%Y"}
+    ]
+    with pytest.raises(ConfigException, match="Unsupported timestamp format"):
+        plan_expansion(ExpandConfig.from_dict(bad), SCHEMA)
+    # %s (epoch seconds) and width-modified fractions are supported
+    ok = cfg()
+    ok["expanded_columns"] = [
+        {"name": "t", "type": "timestamp", "format": "%s"},
+        {"name": "u", "type": "timestamp", "format": "%Y-%m-%d %H:%M:%S.%9N"},
+    ]
+    plan_expansion(ExpandConfig.from_dict(ok), SCHEMA)

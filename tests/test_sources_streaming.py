@@ -182,3 +182,25 @@ def test_streaming_apply_restart_and_new_data(spark, tmp_path):
     assert set(got) == set(want)
     for d in want:
         assert got[d] == want[d]["tokens"], d
+
+
+def test_read_csv_skip_header_lines_multifile(spark, tmp_path):
+    """Embulk skips N physical lines PER FILE — multi-file input must drop
+    the first N rows of EVERY file, not N rows of one partition."""
+    from embulk_filter_expand_json_spark.sources.files import read_csv
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    for i in range(3):
+        (d / f"f{i}.csv").write_text(
+            f"id,name\nunits,text\n{i}00,a{i}\n{i}01,b{i}\n"
+        )
+    out = read_csv(
+        spark,
+        str(d),
+        columns=[{"name": "v", "type": "long"}, {"name": "s", "type": "string"}],
+        skip_header_lines=2,
+    )
+    rows = sorted((r["v"], r["s"]) for r in out.collect())
+    assert rows == [(0, "a0"), (1, "b0"), (100, "a1"),
+                    (101, "b1"), (200, "a2"), (201, "b2")]
