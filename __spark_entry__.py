@@ -377,11 +377,18 @@ def _exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group stats over documents plus planted exact clones
+    (every 50th doc under id+1e6) — the organic table has no exact dups at
+    small SF, so the planting keeps the oracle non-vacuous."""
     from embulk_filter_expand_json_spark.operators.dedup_text import (
         exact_dup_groups,
     )
 
-    g = exact_dup_groups(_documents(spark, sf_dir))
+    base = _documents(spark, sf_dir).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    g = exact_dup_groups(base.unionByName(planted))
     return g.select("fp", "n_dups", "min_id", "max_id")
 
 
@@ -779,11 +786,16 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "exact_dup_stats": """
+            WITH uni AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+            )
             SELECT md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp,
                    count(*) AS n_dups,
                    min(doc_id) AS min_id,
                    max(doc_id) AS max_id
-            FROM documents
+            FROM uni
             GROUP BY 1 HAVING count(*) > 1
         """,
         # (near-dup/ANN queries now have hard oracles above: the planted

@@ -27,10 +27,35 @@ import tempfile
 import time
 
 
+def _burn_probe() -> dict:
+    """Host-state sentinel recorded alongside the numbers: this VM throttles
+    CPU after sustained load (burst credits) and penalizes wide thread
+    groups intermittently — rising burn walls mean the timings below
+    understate the engine (see BASELINE.md scaling section)."""
+    import hashlib
+    import multiprocessing as mp
+
+    def _one(_: int) -> int:
+        h = hashlib.sha256(b"x")
+        for _ in range(2_000_000):
+            h = hashlib.sha256(h.digest())
+        return 0
+
+    out = {}
+    for n in (1, 32):
+        with mp.Pool(n) as p:
+            p.map(_one, range(n))
+            t0 = time.time()
+            p.map(_one, range(n))
+            out[f"burn_{n}p_sec"] = round(time.time() - t0, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    burn = _burn_probe()
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -182,6 +207,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 **extras,
+                **burn,
             }
         )
     )

@@ -84,6 +84,8 @@ class CdcPipeline:
         auto_evolve: bool = True,
         collect_metrics: bool = True,
         use_observations: bool = True,
+        mor_rewrite_ratio: float = 0.2,
+        max_delta_files_per_bucket: int = 8,
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -100,7 +102,18 @@ class CdcPipeline:
         self.use_observations = use_observations
         self.offsets_log = os.path.join(table_path, "_checkpoints", "offsets.jsonl")
         if not self.table.exists():
-            self.table.create(SEQUENCES_SCHEMA, key=key, num_buckets=num_buckets)
+            self.table.create(
+                SEQUENCES_SCHEMA,
+                key=key,
+                num_buckets=num_buckets,
+                # merge-on-read knobs (see SnapTable.merge): small epochs
+                # defer as delta files; a bucket compacts inline past either
+                # threshold
+                properties={
+                    "mor_rewrite_ratio": mor_rewrite_ratio,
+                    "max_delta_files_per_bucket": max_delta_files_per_bucket,
+                },
+            )
 
     # ----------------------------------------------------------- checkpoints
     def last_committed_epoch(self) -> int:
