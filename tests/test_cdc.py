@@ -326,3 +326,37 @@ def test_epoch_job_counts(spark, tmp_path):
     # epoch 1: with 40 hot docs over 4 buckets every bucket has files ->
     # stage write + rewrite write + the rewrite's broadcast-key build
     assert n1 <= 3, f"expected <=3 jobs for a rewrite epoch, got {n1}"
+
+
+def test_full_replay_parity_with_mor_deferral(spark, tmp_path, changes_path):
+    """Token-array parity vs the pure-Python oracle with merge-on-read
+    deferral FORCED on (high rewrite ratio): epochs land as delta files,
+    readers resolve base+deltas by seq, schema evolution null-fills through
+    delta files — final state must still match the interpreter exactly."""
+    pipe = CdcPipeline(
+        spark,
+        changes_path,
+        str(tmp_path / "tblmor"),
+        num_buckets=4,
+        mor_rewrite_ratio=1e9,          # never rewrite by bytes
+        max_delta_files_per_bucket=64,  # never force-compact at this scale
+    )
+    metrics = pipe.run()
+    assert all(not m.skipped for m in metrics)
+    # deferral actually happened (fresh first epoch aside)
+    man = pipe.table.manifest()
+    assert any(f.get("kind") == "delta" for f in man["files"])
+
+    got = table_state(pipe.table)
+    want = oracle_state(spark, changes_path)
+    assert set(got) == set(want)
+    for doc_id in want:
+        assert got[doc_id]["tokens"] == want[doc_id]["tokens"], doc_id
+        assert got[doc_id].get("lang") == want[doc_id].get("lang"), doc_id
+
+    # compaction folds the stack and preserves the state byte-for-byte
+    pipe.table.compact()
+    assert not any(
+        f.get("kind") == "delta" for f in pipe.table.manifest()["files"]
+    )
+    assert table_state(pipe.table) == got
