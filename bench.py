@@ -27,20 +27,23 @@ import tempfile
 import time
 
 
+def _burn_one(_: int) -> int:
+    import hashlib
+
+    h = hashlib.sha256(b"x")
+    for _ in range(2_000_000):
+        h = hashlib.sha256(h.digest())
+    return 0
+
+
 def _burn_probe() -> dict:
     """Host-state sentinel recorded alongside the numbers: this VM throttles
     CPU after sustained load (burst credits) and penalizes wide thread
     groups intermittently — rising burn walls mean the timings below
     understate the engine (see BASELINE.md scaling section)."""
-    import hashlib
     import multiprocessing as mp
 
-    def _one(_: int) -> int:
-        h = hashlib.sha256(b"x")
-        for _ in range(2_000_000):
-            h = hashlib.sha256(h.digest())
-        return 0
-
+    _one = _burn_one
     out = {}
     for n in (1, 32):
         with mp.Pool(n) as p:
@@ -179,11 +182,20 @@ def main() -> None:
         )
         log_path = os.path.join(work, "log")
         write_changes(spark, cfg, log_path)  # setup, not timed
+        # bucket count sized to the DATA, not the core count: the SnapTable
+        # design target is ~0.25-1 GB per bucket; at bench scale that means
+        # few buckets (32 buckets x 8 epochs of ~700-row files is pure
+        # file/commit churn). Overridable for experiments.
+        n_buckets = int(
+            os.environ.get(
+                "SPARK_GRAFT_BUCKETS", str(max(8, min(32, n_changes // 60_000)))
+            )
+        )
         pipe = CdcPipeline(
             spark,
             log_path,
             os.path.join(work, "table"),
-            num_buckets=max(cpus, 8),
+            num_buckets=n_buckets,
             collect_metrics=False,
         )
         t0 = time.time()

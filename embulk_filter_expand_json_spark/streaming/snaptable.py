@@ -306,9 +306,13 @@ class SnapTable:
         stage_rel = os.path.join(commit_rel, "delta")
         stage_dir = os.path.join(self.path, stage_rel)
 
-        # ---- phase 1: stage (the ONE job whose scan carries the observes)
+        # ---- phase 1: stage (the ONE job whose scan carries the observes).
+        # repartition WITHOUT an explicit count: hash-partitioned on
+        # __bucket so each bucket lands wholly in one task (one file per
+        # bucket/flag), while AQE sizes the partition count to the delta —
+        # a tiny epoch collapses to 1-2 write tasks instead of num_buckets
         (
-            aligned.repartition(num_buckets, "__bucket")
+            aligned.repartition("__bucket")
             .sortWithinPartitions("__bucket", "__is_delete", key)
             .write.mode("errorifexists")
             .partitionBy("__bucket", "__is_delete")
@@ -466,7 +470,7 @@ class SnapTable:
             rw_rel = os.path.join(commit_rel, "rw")
             rw_dir = os.path.join(self.path, rw_rel)
             (
-                new_state.repartition(len(rewrite_buckets), "__bucket")
+                new_state.repartition("__bucket")
                 .sortWithinPartitions(key)
                 .write.mode("errorifexists")
                 .partitionBy("__bucket")
