@@ -2,12 +2,13 @@
 
 ``entry(spark)`` smoke-runs the flagship expansion on sf0.001;
 ``queries()``/``oracle_sql()`` pair every implemented operator with a DuckDB
-oracle at sf0.01 (row-count + schema + value-hash compare): 23 of 25 queries
-are hard-verified, including the near-dup/ANN family via deterministic
-planted fixtures derived in-query. Only the two stateful replays
-(cdc_replay_state, streaming_replay_state) are rows-only; their correctness
-gate is tests/test_cdc.py's token-array-equality vs the pure-Python oracle.
-Local replica of the driver compare: scripts/check_contract.py.
+oracle at sf0.01 (row-count + schema + value-hash compare): all 26 queries
+are hard-verified — the near-dup/ANN family via deterministic planted
+fixtures derived in-query, and the two stateful replays by materializing
+their deterministic change logs at fixed paths and SQL-replaying them in
+the oracle (LWW window + delete suppression + invalid-record drop).
+tests/test_cdc.py additionally pins token-array equality vs the pure-Python
+interpreter. Local replica of the driver compare: scripts/check_contract.py.
 """
 
 from __future__ import annotations
@@ -201,6 +202,31 @@ def _expand_struct_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _expand_tail_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jayway path functions (.length()/.sum() tail steps) through the Arrow
+    general path — a derived payload with a deterministic int array per
+    event, verified against DuckDB's json_array_length / list aggregation."""
+    from embulk_filter_expand_json_spark import expand_json
+
+    ev = _events(spark, sf_dir)
+    arr = F.sequence(F.lit(1), (F.col("event_id") % 5 + 1).cast("int"))
+    src = ev.select(
+        "event_id",
+        F.to_json(F.struct(arr.alias("a"))).alias("payload"),
+    )
+    return expand_json(
+        src,
+        {
+            "json_column_name": "payload",
+            "expanded_columns": [
+                {"name": "a.length()", "type": "long"},
+                {"name": "a.sum()", "type": "double"},
+            ],
+        },
+        mode="arrow",
+    ).withColumnsRenamed({"a.length()": "a_len", "a.sum()": "a_sum"})
+
+
 def _expand_lineitem_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The expansion operator over TPC-H lineitem width/scale (6M rows at
     sf1): JSON-ify four columns, expand them back — a round-trip oracle on
@@ -283,11 +309,50 @@ SELECT user_id, event_id, event_type, value FROM (
 """
 
 
+#: fixed log locations so the DuckDB oracle can read the SAME deterministic
+#: change stream the engine replayed (the stream is a pure function of the
+#: seed, so materializing it in-query and SQL-replaying it in the oracle is
+#: the same planted-fixture pattern as the near-dup queries)
+_CDC_ORACLE_LOG = "/tmp/spark_graft_oracle/cdc_log"
+_STREAM_ORACLE_LOG = "/tmp/spark_graft_oracle/stream_log"
+
+
+def _replay_oracle_sql(log_path: str) -> str:
+    """SQL replay of expand -> LWW -> delete suppression over the materialized
+    change log: drop invalid payloads (malformed JSON, or a string-typed
+    ``tokens`` whose content is not itself valid JSON — the json-cast
+    invalid-record channel, mirroring reference_oracle._valid_upsert), take
+    each doc's max-offset row (LWW), suppress delete winners — exactly
+    SnapTable's merge semantics (_LWW_ORACLE's shape plus the invalid-drop
+    and the op filter)."""
+    return f"""
+        WITH log AS (
+          SELECT * FROM read_parquet('{log_path}/epoch=*/*.parquet')
+        ), valid AS (
+          SELECT log_offset, op,
+                 json_extract_string(payload, '$.doc_id') AS doc_id,
+                 CAST(json_extract_string(payload, '$.n_tok') AS INT) AS n_tok,
+                 json_extract_string(payload, '$.source') AS source
+          FROM log
+          WHERE json_valid(payload)
+            AND (json_type(payload, '$.tokens') IS DISTINCT FROM 'VARCHAR'
+                 OR json_valid(json_extract_string(payload, '$.tokens')))
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY log_offset DESC) AS rn
+          FROM valid WHERE doc_id IS NOT NULL
+        )
+        SELECT doc_id, n_tok, source FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
 def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end engine run: synthesize a deterministic change stream sized
     to the SF, replay it through expand -> LWW dedup -> exactly-once MERGE,
-    and return the final table state. No SQL oracle (multi-step stateful op);
-    parity gate is tests/test_cdc.py vs the pure-Python interpreter."""
+    and return the final table state. Hard-verified: the log is materialized
+    at a fixed path and the DuckDB oracle replays it in SQL (LWW window +
+    delete suppression + invalid-drop). tests/test_cdc.py additionally pins
+    token-array equality vs the pure-Python interpreter."""
     from embulk_filter_expand_json_spark.sources.changegen import (
         ChangeGenConfig,
         write_changes,
@@ -296,6 +361,7 @@ def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
     work = tempfile.mkdtemp(prefix="cdc_entry_")
+    shutil.rmtree(_CDC_ORACLE_LOG, ignore_errors=True)
     try:
         cfg = ChangeGenConfig(
             n_events=n_events,
@@ -303,10 +369,10 @@ def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_size=max(n_events // 4, 500),
             seed=42,
         )
-        write_changes(spark, cfg, os.path.join(work, "log"))
+        write_changes(spark, cfg, _CDC_ORACLE_LOG)
         pipe = CdcPipeline(
             spark,
-            os.path.join(work, "log"),
+            _CDC_ORACLE_LOG,
             os.path.join(work, "table"),
             num_buckets=8,
         )
@@ -528,7 +594,8 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _streaming_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same replay as cdc_replay_state but driven through the Structured
     Streaming front-end (readStream -> foreachBatch -> idempotent MERGE).
-    Rows-only check; cross-validated against the pure-Python oracle in
+    Hard-verified against the same SQL replay oracle over its own
+    materialized log; cross-validated against the pure-Python oracle in
     tests/test_sources_streaming.py."""
     import time
 
@@ -542,14 +609,15 @@ def _streaming_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     work = tempfile.mkdtemp(prefix="cdc_stream_entry_")
+    shutil.rmtree(_STREAM_ORACLE_LOG, ignore_errors=True)
     try:
         cfg = ChangeGenConfig(
             n_events=4_000, n_docs=200, batch_size=1_000, seed=42
         )
-        write_changes(spark, cfg, os.path.join(work, "log"))
+        write_changes(spark, cfg, _STREAM_ORACLE_LOG)
         q = run_streaming_apply(
             spark,
-            changes_path=os.path.join(work, "log"),
+            changes_path=_STREAM_ORACLE_LOG,
             table_path=os.path.join(work, "table"),
             checkpoint_path=os.path.join(work, "ckpt"),
             num_buckets=4,
@@ -581,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expand_ts_json_arrow": _expand_ts_json_arrow,
         "expand_ts_json_catalyst": _expand_ts_json_catalyst,
         "expand_struct_source": _expand_struct_source,
+        "expand_tail_fns": _expand_tail_fns,
         "expand_lineitem_json": _expand_lineitem_json,
         "lww_dedup_window": _lww_window,
         "lww_dedup_agg": _lww_agg,
@@ -653,6 +722,17 @@ def oracle_sql() -> dict[str, str]:
         "expand_struct_source": """
             SELECT event_id, user_id AS uid, event_type AS etype FROM events
         """,
+        "expand_tail_fns": """
+            SELECT event_id,
+                   (event_id % 5 + 1) AS a_len,
+                   list_aggregate(
+                     list_transform(generate_series(1, (event_id % 5 + 1)::INT),
+                                    x -> x::DOUBLE),
+                     'sum') AS a_sum
+            FROM events
+        """,
+        "cdc_replay_state": _replay_oracle_sql(_CDC_ORACLE_LOG),
+        "streaming_replay_state": _replay_oracle_sql(_STREAM_ORACLE_LOG),
         "expand_lineitem_json": """
             SELECT l_suppkey, l_orderkey AS ok,
                    CAST(l_linenumber AS BIGINT) AS ln,
@@ -809,8 +889,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
         """,
-        # no oracle (rows-only): ONLY the two stateful replays —
-        # cdc_replay_state and streaming_replay_state (multi-step exactly-once
-        # MERGE state; parity proven in tests/test_cdc.py token-array-equality
-        # vs the pure-Python interpreter)
+        # every query above is hash-verified; the two stateful replays are
+        # verified by SQL-replaying their own materialized change logs (the
+        # fixed /tmp/spark_graft_oracle paths written by the Spark queries)
     }

@@ -14,7 +14,14 @@ directly:
 - recursive descent: ``..name``, ``..[...]``
 - filter predicates ``[?(...)]`` with ``@``-relative and ``$``-root paths,
   comparisons ``== != < <= > >= =~``, ``&& || !``, ``in``/``nin``,
-  existence (``[?(@.isbn)]``), regex literals ``/pattern/flags``
+  ``size``/``empty``, existence (``[?(@.isbn)]``), regex literals
+  ``/pattern/flags``
+- tail functions (Jayway 2.4.0 path functions, config-compat long tail):
+  ``.length()``, ``.keys()``, ``.min()``, ``.max()``, ``.avg()``,
+  ``.sum()``, ``.stddev()`` — legal only as the last step; on an
+  indefinite base path a single match is unwrapped first (so
+  ``$..book.length()`` counts the books, matching Jayway's documented
+  output), multiple matches aggregate over the match list
 
 Read semantics replicate the two Jayway options the reference sets
 (FilteredPageOutput.java:223-229): DEFAULT_PATH_LEAF_TO_NULL and
@@ -104,6 +111,16 @@ class Filter(Step):
     expr: "Expr"
 
 
+#: Jayway 2.4.0 path functions (PathFunctionFactory.FUNCTIONS, minus the
+#: string concat/append forms the reference's configs can't produce)
+_TAIL_FUNCTIONS = ("length", "keys", "min", "max", "avg", "sum", "stddev")
+
+
+@dataclass(frozen=True)
+class TailFunction(Step):
+    name: str
+
+
 # --- filter expression AST --------------------------------------------------
 
 class Expr:
@@ -188,6 +205,12 @@ class _Parser:
             raise JsonPathSyntaxError(
                 f"trailing input at {self.i} in {self.text!r}"
             )
+        for s in steps[:-1]:
+            if isinstance(s, TailFunction):
+                raise JsonPathSyntaxError(
+                    f"function .{s.name}() must be the last step in "
+                    f"{self.text!r} (Jayway: functions apply at the tail)"
+                )
         return steps
 
     def parse_steps(self, top: bool) -> Tuple[Step, ...]:
@@ -223,7 +246,11 @@ class _Parser:
                     break
                 name = self._trim_ident(m.group(0), top)
                 self.i += len(name)
-                steps.append(Field(name))
+                # Jayway path function: '.fn()' as the (validated-last) step
+                if name.endswith("()") and name[:-2] in _TAIL_FUNCTIONS:
+                    steps.append(TailFunction(name[:-2]))
+                else:
+                    steps.append(Field(name))
             elif self.peek() == "[":
                 steps.append(self.parse_bracket())
             else:
@@ -393,7 +420,8 @@ class _Parser:
             return inner
         left = self.parse_operand()
         self.skip_ws()
-        for op in ("==", "!=", "<=", ">=", "=~", "<", ">", "nin", "in"):
+        for op in ("==", "!=", "<=", ">=", "=~", "<", ">",
+                   "nin", "in", "size", "empty"):
             if self.startswith(op):
                 self.i += len(op)
                 self.skip_ws()
@@ -533,12 +561,18 @@ class JsonPath:
     value or None; indefinite paths give the list of matches ([] if none).
     """
 
-    __slots__ = ("path", "steps", "is_definite")
+    __slots__ = ("path", "steps", "is_definite", "tail_fn")
 
     def __init__(self, path: str):
         self.path = path
-        self.steps = _Parser(path).parse_path()
-        self.is_definite = all(
+        steps = _Parser(path).parse_path()
+        self.tail_fn: Optional[str] = None
+        if steps and isinstance(steps[-1], TailFunction):
+            self.tail_fn = steps[-1].name
+            steps = steps[:-1]
+        self.steps = steps
+        # a path ending in a function always yields a single value
+        self.is_definite = self.tail_fn is not None or all(
             isinstance(s, (Field, Index)) for s in self.steps
         )
 
@@ -546,6 +580,17 @@ class JsonPath:
         return f"JsonPath({self.path!r})"
 
     def read(self, doc: Any) -> Any:
+        if self.tail_fn is not None:
+            if all(isinstance(s, (Field, Index)) for s in self.steps):
+                model = _read_definite(self.steps, doc)
+                if model is _MISSING:
+                    return None  # SUPPRESS_EXCEPTIONS -> null
+            else:
+                matches = _eval_steps(self.steps, [doc], doc)
+                # single indefinite match unwraps (Jayway's documented
+                # '$..book.length() -> 4'); several aggregate over the list
+                model = matches[0] if len(matches) == 1 else matches
+            return _apply_tail_fn(self.tail_fn, model)
         if self.is_definite:
             v = _read_definite(self.steps, doc)
             return None if v is _MISSING else v
@@ -666,6 +711,16 @@ def _eval_filter(expr: Expr, el: Any, root: Any) -> bool:
             # Jayway RegexpEvaluator uses Matcher.matches() (full match)
             return re.fullmatch(expr.right.pattern, lv, expr.right.flags) is not None
         rv = _eval_operand(expr.right, el, root)
+        if expr.op == "size":
+            # Jayway SizeEvaluator: string length or array size equals rv
+            if isinstance(lv, (str, list)) and _is_number(rv):
+                return len(lv) == int(rv)
+            return False
+        if expr.op == "empty":
+            # Jayway EmptyEvaluator: left must be a string or collection
+            if isinstance(lv, (str, list, dict)) and isinstance(rv, bool):
+                return (len(lv) == 0) == rv
+            return False
         if expr.op in ("in", "nin"):
             if rv is _MISSING or lv is _MISSING or not isinstance(rv, list):
                 return expr.op == "nin"
@@ -680,6 +735,41 @@ def _eval_filter(expr: Expr, el: Any, root: Any) -> bool:
     if isinstance(expr, Literal):
         return bool(expr.value)
     raise JsonPathSyntaxError(f"bad filter expr {expr!r}")
+
+
+def _apply_tail_fn(name: str, model: Any) -> Any:
+    """Jayway 2.4.0 path-function semantics, exceptions suppressed to None
+    (the reference sets SUPPRESS_EXCEPTIONS; a type mismatch that would
+    throw JsonPathException in Jayway reads as null here)."""
+    if name == "length":
+        # LengthFunction: array size, string length, or object entry count
+        if isinstance(model, (list, str, dict)):
+            return len(model)
+        return None
+    if name == "keys":
+        # KeysFunction: property names of an object
+        if isinstance(model, dict):
+            return list(model.keys())
+        return None
+    # numeric aggregations (Jayway: only numbers participate; an empty
+    # aggregation set throws -> suppressed to None); results are Double
+    if not isinstance(model, list):
+        return None
+    nums = [float(x) for x in model if _is_number(x)]
+    if not nums:
+        return None
+    if name == "min":
+        return min(nums)
+    if name == "max":
+        return max(nums)
+    if name == "sum":
+        return sum(nums)
+    if name == "avg":
+        return sum(nums) / len(nums)
+    if name == "stddev":
+        mean = sum(nums) / len(nums)
+        return (sum((x - mean) ** 2 for x in nums) / len(nums)) ** 0.5
+    raise JsonPathSyntaxError(f"unknown function {name}")  # pragma: no cover
 
 
 def compile_path(path: str) -> JsonPath:

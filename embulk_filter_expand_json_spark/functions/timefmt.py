@@ -15,9 +15,13 @@ from typing import Optional, Tuple
 
 import pandas as pd
 
-# Ruby strftime token -> Python strptime token (None = unsupported)
+# Ruby strftime token -> Python strptime token (None = unsupported).
+# Week/weekday/ISO tokens follow strptime composition rules, same as Ruby's
+# Date._strptime: %U/%W contribute a date only together with %Y + %w/%a,
+# %V only with %G + %u/%a; alone they parse but don't move the date.
 _RUBY_TO_PY = {
-    "Y": "%Y", "y": "%y", "C": None,
+    "Y": "%Y", "y": "%y",
+    "C": None,  # century alone is ambiguous in strptime; rejected at plan time
     "m": "%m", "d": "%d", "e": "%d", "j": "%j",
     "H": "%H", "k": "%H", "I": "%I", "l": "%I", "p": "%p", "P": "%p",
     "M": "%M", "S": "%S",
@@ -25,12 +29,17 @@ _RUBY_TO_PY = {
     "N": "%f",  # nanoseconds — input pre-trimmed to 6 digits (us truncation)
     "z": "%z", "Z": "%Z",
     "A": "%A", "a": "%a", "B": "%B", "b": "%b", "h": "%b",
+    "U": "%U", "W": "%W",  # week-of-year (Sunday-/Monday-based)
+    "V": "%V", "G": "%G",  # ISO week / ISO week-based year
+    "g": None,  # 2-digit ISO year: no strptime directive; rejected at plan time
+    "u": "%u", "w": "%w",  # weekday ISO 1-7 / Sunday-0
+    "x": "%x", "X": "%X", "c": "%c",  # locale date/time/datetime (C locale)
     "T": "%H:%M:%S", "F": "%Y-%m-%d", "D": "%m/%d/%y", "R": "%H:%M",
     "n": "\n", "t": "\t", "%": "%%",
     "s": None,  # epoch seconds — handled separately if ever needed
 }
 
-_DATE_TOKENS = set("YyCmdejFDxGgUVWuwAaBbh")
+_DATE_TOKENS = set("YyCmdejFDxcGgUVWuwAaBbh")
 _ZONE_TOKENS = set("zZ")
 
 # Ruby strftime token -> Java DateTimeFormatter pattern (for the Catalyst

@@ -107,7 +107,9 @@ def expand_json(
 
 def _catalyst_eligible(plan: ExpandPlan, compiled: list) -> bool:
     for spec, cp in zip(plan.specs, compiled):
-        if not cp.is_definite:
+        # tail functions (.length() etc.) report definite (single value)
+        # but only the Python engine can apply them -> Arrow path
+        if not cp.is_definite or cp.tail_fn is not None:
             return False
         if spec.type == "timestamp":
             assert spec.timestamp_format is not None

@@ -86,6 +86,7 @@ class CdcPipeline:
         use_observations: bool = True,
         mor_rewrite_ratio: float = 0.2,
         max_delta_files_per_bucket: int = 8,
+        min_mor_base_bytes: int = 64 * 1024 * 1024,
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -108,10 +109,12 @@ class CdcPipeline:
                 num_buckets=num_buckets,
                 # merge-on-read knobs (see SnapTable.merge): small epochs
                 # defer as delta files; a bucket compacts inline past either
-                # threshold
+                # threshold; buckets below the byte floor always take the
+                # plain-CoW path (deferral never wins on small bases)
                 properties={
                     "mor_rewrite_ratio": mor_rewrite_ratio,
                     "max_delta_files_per_bucket": max_delta_files_per_bucket,
+                    "min_mor_base_bytes": min_mor_base_bytes,
                 },
             )
 
@@ -158,7 +161,14 @@ class CdcPipeline:
     def _read_changes(self) -> DataFrame:
         """Read the change log with a pinned schema (inferred once per
         pipeline): repeated per-epoch reads must not each pay a footer
-        schema-inference job."""
+        schema-inference job.
+
+        Invariant: the change-log parquet ENVELOPE schema (log_offset,
+        epoch, op, payload) is fixed for the lifetime of a pipeline
+        instance — files appending new envelope columns mid-run would be
+        read with the pinned schema (extra columns ignored). Payload-level
+        drift is unaffected: new JSON keys live inside ``payload`` and are
+        detected per epoch by the observe-driven drift check."""
         if getattr(self, "_changes_schema", None) is None:
             self._changes_schema = self.spark.read.parquet(
                 self.changes_path

@@ -184,7 +184,13 @@ class SnapTable:
     ) -> DataFrame:
         """Merged current state for ``buckets`` (all when None): base files
         plus delta files (plus not-yet-committed ``extra_deltas``), resolved
-        by (seq desc) per key, delete rows suppressed."""
+        by (seq desc) per key, delete rows suppressed.
+
+        The resolve is BUCKET-SCOPED (Iceberg's per-file-group MoR): only
+        buckets that actually carry delta entries pay the window merge; the
+        clean buckets' base files are unioned in pass-through with NO
+        exchange over them — at the 100 TB target a trickle of deferred
+        epochs must not force a full-table key shuffle on every read."""
         files = man["files"]
         if buckets is not None:
             bset = set(buckets)
@@ -194,15 +200,19 @@ class SnapTable:
         if extra_deltas:
             delta_files = delta_files + list(extra_deltas)
 
-        base = self._read_files(base_files, schema)
         if not delta_files:
-            return base
+            return self._read_files(base_files, schema)
+
+        dirty = {f["bucket"] for f in delta_files}
+        clean_base = [f for f in base_files if f["bucket"] not in dirty]
+        dirty_base = [f for f in base_files if f["bucket"] in dirty]
+
         seq_col = "__seq"
         del_col = "__mor_del"
         parts = [
-            base.withColumn(seq_col, F.lit(0).cast("long")).withColumn(
-                del_col, F.lit(False)
-            )
+            self._read_files(dirty_base, schema)
+            .withColumn(seq_col, F.lit(0).cast("long"))
+            .withColumn(del_col, F.lit(False))
         ]
         groups: dict = {}
         for f in delta_files:
@@ -219,12 +229,18 @@ class SnapTable:
         key = man["key"]
         from pyspark.sql import Window
 
-        w = Window.partitionBy(key).orderBy(F.desc(seq_col))
-        return (
+        # tie-break desc(del_col): if a caller ever violates the one-row-
+        # per-key-per-commit contract, the delete deterministically wins
+        # within a seq instead of leaving the winner shuffle-order-dependent
+        w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(del_col))
+        merged = (
             union.withColumn("__rn", F.row_number().over(w))
             .filter((F.col("__rn") == 1) & (~F.col(del_col)))
             .drop("__rn", seq_col, del_col)
         )
+        if not clean_base:
+            return merged
+        return self._read_files(clean_base, schema).unionByName(merged)
 
     def _read_files(self, files: List[dict], schema: T.StructType) -> DataFrame:
         paths = [os.path.join(self.path, f["path"]) for f in files]
@@ -244,9 +260,13 @@ class SnapTable:
         """MERGE INTO: upsert deltas by key, delete rows where delete_col.
 
         ``deltas`` must contain the key column and any subset of the table
-        schema's columns (missing ones are null-filled); one row per key
-        (run lww_dedup first). Returns a lineage dict; re-applying an
-        epoch <= last_committed_epoch is a recorded no-op (exactly-once).
+        schema's columns (missing ones are null-filled); ONE ROW PER KEY
+        (run lww_dedup first) — this is a hard contract: the rewrite fast
+        path registers staged rows as winners directly, and duplicate keys
+        within one commit would otherwise resolve by the deterministic
+        delete-wins tie-break rather than any caller-intended order.
+        Returns a lineage dict; re-applying an epoch <=
+        last_committed_epoch is a recorded no-op (exactly-once).
 
         Two-phase staged-delta protocol (what Iceberg/Delta MERGE does):
 
@@ -283,8 +303,15 @@ class SnapTable:
         num_buckets = man["num_buckets"]
         schema = T.StructType.fromJson(man["schema"])
 
+        # NULL delete flags coalesce to False: a NULL here would otherwise
+        # land in a __HIVE_DEFAULT_PARTITION__ staging directory that the
+        # false/true listing never registers — rows silently vanishing from
+        # the commit (ADVICE r2). The listing below still fails loudly if an
+        # unexpected partition directory ever appears.
         is_delete = (
-            F.col(delete_col) if delete_col else F.lit(False)
+            F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            if delete_col
+            else F.lit(False)
         )
         aligned = deltas.withColumn("__is_delete", is_delete)
         for f in schema.fields:
@@ -327,6 +354,18 @@ class SnapTable:
                 continue
             b = int(name.split("=", 1)[1])
             staged[b] = {False: [], True: []}
+            unexpected = [
+                s
+                for s in os.listdir(os.path.join(stage_dir, name))
+                if s.startswith("__is_delete=")
+                and s not in ("__is_delete=false", "__is_delete=true")
+            ]
+            if unexpected:
+                raise ValueError(
+                    f"staged partition dirs {unexpected} in bucket {b}: the "
+                    "delete flag must evaluate to true/false (never NULL) — "
+                    "registering them would silently drop rows"
+                )
             for flag, sub in ((False, "false"), (True, "true")):
                 d = os.path.join(stage_dir, name, f"__is_delete={sub}")
                 if os.path.isdir(d):
@@ -363,6 +402,14 @@ class SnapTable:
         props = man.get("properties", {})
         mor_ratio = float(props.get("mor_rewrite_ratio", 0.2))
         max_delta = int(props.get("max_delta_files_per_bucket", 8))
+        # MoR floor: below this base size a bucket ALWAYS takes the plain
+        # CoW rewrite. At toy scale every epoch's delta is comparable to the
+        # base, so the byte-ratio trigger fires each epoch anyway — deferral
+        # would pay the delta-stack machinery and still rewrite (VERDICT r2
+        # finding #2). Deferral only ever wins when the base is big enough
+        # that rewriting it dominates; default 64 MiB per bucket (the design
+        # target is 0.25-1 GB buckets, safely above the floor).
+        mor_floor = int(props.get("min_mor_base_bytes", 64 * 1024 * 1024))
         new_seq = man["version"] + 1
 
         # ---- phase 2 decision, per touched bucket (merge-on-read):
@@ -393,8 +440,10 @@ class SnapTable:
             n_delta_files = (
                 len(deltas_by_bucket.get(b, [])) + len(st_up) + len(st_del)
             )
-            if delta_bytes >= mor_ratio * max(base_bytes, 1) or (
-                n_delta_files > max_delta
+            if (
+                base_bytes < mor_floor
+                or delta_bytes >= mor_ratio * max(base_bytes, 1)
+                or n_delta_files > max_delta
             ):
                 rewrite_buckets.append(b)
             else:
@@ -450,14 +499,26 @@ class SnapTable:
             deltas_df = parts[0]
             for p in parts[1:]:
                 deltas_df = deltas_df.unionByName(p)
-            from pyspark.sql import Window
+            if len({f["seq"] for f in delta_entries}) == 1:
+                # plain-CoW fast path (every rewrite bucket has NO prior
+                # delta stack — the only delta is this epoch's staged files,
+                # already one-row-per-key from lww_dedup): the staged rows
+                # ARE the winners, no window shuffle over the delta needed.
+                # This is the whole per-epoch path below the MoR floor.
+                winners = deltas_df.drop("__seq")
+            else:
+                from pyspark.sql import Window
 
-            w = Window.partitionBy(key).orderBy(F.desc("__seq"))
-            winners = (
-                deltas_df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn", "__seq")
-            )
+                # tie-break desc(__mor_del) as in _state_df: deterministic
+                # even if a caller violates the one-row-per-key contract
+                w = Window.partitionBy(key).orderBy(
+                    F.desc("__seq"), F.desc("__mor_del")
+                )
+                winners = (
+                    deltas_df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn", "__seq")
+                )
             survivors = base.join(
                 F.broadcast(winners.select(key).distinct()), on=key, how="left_anti"
             ).withColumn("__mor_del", F.lit(False))
@@ -556,3 +617,71 @@ class SnapTable:
             "files_after": len(new_files),
             "version": man["version"],
         }
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expire_snapshots``: drop manifest versions older than
+        the newest ``keep_last`` and delete every data file referenced ONLY
+        by expired versions. Time travel to retained versions keeps working;
+        reads of expired versions raise FileNotFoundError. Without this,
+        disk growth is unbounded at the 10^10-event design scale (every CoW
+        rewrite retains the superseded base files)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self._versions()
+        retained, expired = versions[-keep_last:], versions[:-keep_last]
+        if not expired:
+            return {"expired_versions": [], "files_removed": 0}
+        keep_paths = set()
+        for v in retained:
+            keep_paths.update(f["path"] for f in self.manifest(v)["files"])
+        removed = 0
+        for v in expired:
+            for f in self.manifest(v)["files"]:
+                if f["path"] in keep_paths:
+                    continue
+                full = os.path.join(self.path, f["path"])
+                if os.path.isfile(full):
+                    os.unlink(full)
+                    removed += 1
+                keep_paths.add(f["path"])  # shared across expired versions
+        for v in expired:
+            os.unlink(os.path.join(self.log_dir, f"v{v:08d}.json"))
+        self._prune_empty_dirs()
+        return {"expired_versions": expired, "files_removed": removed}
+
+    def remove_orphans(self, older_than_sec: float = 3600.0) -> dict:
+        """Delete data files not referenced by ANY retained snapshot — the
+        debris of aborted commits (pre_commit=False / crash between write
+        and publish leaves staged files unreferenced by design). The mtime
+        guard skips files younger than ``older_than_sec`` so an in-flight
+        commit's just-written, not-yet-published files survive; beyond that
+        the single-writer assumption (module docstring) makes the sweep
+        safe to run any time."""
+        import time as _time
+
+        referenced = set()
+        for v in self._versions():
+            referenced.update(f["path"] for f in self.manifest(v)["files"])
+        cutoff = _time.time() - older_than_sec
+        removed = 0
+        for root, _dirs, names in os.walk(self.data_dir):
+            for name in names:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.path)
+                if rel in referenced:
+                    continue
+                if os.path.getmtime(full) > cutoff:
+                    continue
+                os.unlink(full)
+                removed += 1
+        self._prune_empty_dirs()
+        return {"files_removed": removed}
+
+    def _prune_empty_dirs(self) -> None:
+        # bottom-up so a parent emptied by its children's removal is caught
+        for root, _dirs, _names in os.walk(self.data_dir, topdown=False):
+            if root != self.data_dir and not os.listdir(root):
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass

@@ -168,3 +168,58 @@ def test_timestamp_width_modified_fraction_truncates():
     assert not e[0]
     # the parsed series must be microsecond-clean (floor applied)
     assert (p.dt.nanosecond == 0).all()
+
+
+# --- Ruby strftime week/ISO/locale tokens (VERDICT r2 missing #2) ------------
+
+def _parse_one(val, fmt, tz="UTC", date="1970-01-01"):
+    from embulk_filter_expand_json_spark.functions.timefmt import (
+        parse_timestamp_series,
+    )
+
+    parsed, err = parse_timestamp_series(S(val), fmt, tz, date)
+    assert not err.iloc[0], (val, fmt)
+    return parsed.iloc[0].isoformat()
+
+
+def test_week_of_year_tokens():
+    # %U: Sunday-based week (Ruby strftime semantics; 2024 W10 Sunday=Mar 10)
+    assert _parse_one("2024-10-0", "%Y-%U-%w") == "2024-03-10T00:00:00+00:00"
+    # %W: Monday-based week
+    assert _parse_one("2024-10-1", "%Y-%W-%w") == "2024-03-04T00:00:00+00:00"
+
+
+def test_iso_week_date_tokens():
+    # %G-%V-%u: ISO week-date (2024-W01-1 is Jan 1 2024)
+    assert _parse_one("2024-01-1", "%G-%V-%u") == "2024-01-01T00:00:00+00:00"
+    assert _parse_one("2020-01-3", "%G-%V-%u") == "2020-01-01T00:00:00+00:00"
+
+
+def test_locale_date_time_tokens():
+    # C-locale %x (=%m/%d/%y), %X (=%H:%M:%S, time-only -> default_date),
+    # %c (full datetime)
+    assert _parse_one("03/15/24", "%x") == "2024-03-15T00:00:00+00:00"
+    assert (
+        _parse_one("13:14:15", "%X", date="2001-02-03")
+        == "2001-02-03T13:14:15+00:00"
+    )
+    assert (
+        _parse_one("Tue Aug 16 21:30:00 1988", "%c")
+        == "1988-08-16T21:30:00+00:00"
+    )
+
+
+def test_unsupported_tokens_rejected_at_plan_time():
+    from embulk_filter_expand_json_spark.functions.timefmt import (
+        UnsupportedTimestampFormat,
+        validate_ruby_format,
+    )
+
+    # %C (century) and %g (2-digit ISO year) have no strptime directive —
+    # misconfiguration must surface at plan time, not mid-job
+    for fmt in ("%C%y-%m-%d", "%g-%V-%u"):
+        with pytest.raises(UnsupportedTimestampFormat):
+            validate_ruby_format(fmt)
+    # the newly supported tokens all validate
+    for fmt in ("%Y-%U-%w", "%Y-%W-%w", "%G-%V-%u", "%x", "%X", "%c"):
+        validate_ruby_format(fmt)

@@ -340,6 +340,7 @@ def test_full_replay_parity_with_mor_deferral(spark, tmp_path, changes_path):
         num_buckets=4,
         mor_rewrite_ratio=1e9,          # never rewrite by bytes
         max_delta_files_per_bucket=64,  # never force-compact at this scale
+        min_mor_base_bytes=0,           # disable the small-base CoW floor
     )
     metrics = pipe.run()
     assert all(not m.skipped for m in metrics)

@@ -1,0 +1,180 @@
+"""Round-3 SnapTable hardening: snapshot/orphan GC, bucket-scoped MoR read
+resolution (clean buckets never shuffled), the min_mor_base_bytes CoW floor,
+and NULL delete-flag coalescing (ADVICE r2)."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from embulk_filter_expand_json_spark.streaming.pipeline import SEQUENCES_SCHEMA
+from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
+
+
+def delta(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, is_del boolean",
+    )
+
+
+def make_table(spark, path, buckets=4, properties=None):
+    t = SnapTable(spark, str(path))
+    t.create(SEQUENCES_SCHEMA, key="doc_id", num_buckets=buckets,
+             properties=properties)
+    return t
+
+
+def data_files_on_disk(t: SnapTable):
+    out = []
+    for root, _dirs, names in os.walk(t.data_dir):
+        out.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
+    return out
+
+
+# ------------------------------------------------------------------ GC
+
+def test_expire_snapshots_bounds_disk(spark, tmp_path):
+    """K epochs of rewrites + an aborted commit: expire + orphan sweep keeps
+    on-disk file count bounded by the retained manifests, while time travel
+    to retained versions still works and expired versions raise."""
+    t = make_table(spark, tmp_path / "t", buckets=2)
+    for e in range(5):
+        t.merge(
+            delta(spark, [(f"k{i}", [e], 1, "s", False) for i in range(16)]),
+            epoch=e,
+            delete_col="is_del",
+        )
+    # an aborted attempt leaves orphaned staged files by design
+    r = t.merge(
+        delta(spark, [("k0", [99], 1, "s", False)]),
+        epoch=5,
+        delete_col="is_del",
+        pre_commit=lambda: False,
+    )
+    assert r["aborted"]
+    n_disk_before = len(data_files_on_disk(t))
+    retained_versions = t._versions()[-2:]
+    state_before = sorted(
+        (r["doc_id"], r["tokens"]) for r in t.read().collect()
+    )
+
+    res = t.expire_snapshots(keep_last=2)
+    assert res["files_removed"] > 0
+    orph = t.remove_orphans(older_than_sec=0.0)
+    assert orph["files_removed"] > 0  # the aborted stage files
+
+    # every file on disk is referenced by a retained manifest — nothing else
+    referenced = set()
+    for v in t._versions():
+        referenced.update(
+            os.path.join(t.path, f["path"]) for f in t.manifest(v)["files"]
+        )
+    on_disk = set(data_files_on_disk(t))
+    assert on_disk == referenced
+    assert len(on_disk) < n_disk_before
+
+    # current state unchanged; retained time travel works; expired raises
+    assert sorted(
+        (r["doc_id"], r["tokens"]) for r in t.read().collect()
+    ) == state_before
+    assert t.read(version=retained_versions[0]).count() == 16
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
+    # the table keeps working after GC
+    t.merge(delta(spark, [("k0", [100], 1, "s", False)]), epoch=6,
+            delete_col="is_del")
+    assert t.read().filter("doc_id = 'k0'").first()["tokens"] == [100]
+
+
+def test_remove_orphans_spares_young_files(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t")
+    t.merge(delta(spark, [("a", [1], 1, "s", False)]), epoch=0,
+            delete_col="is_del")
+    t.merge(
+        delta(spark, [("a", [2], 1, "s", False)]),
+        epoch=1,
+        delete_col="is_del",
+        pre_commit=lambda: False,
+    )
+    before = len(data_files_on_disk(t))
+    # default 1h age guard: freshly-written orphans of an in-flight commit
+    # must survive the sweep
+    assert t.remove_orphans()["files_removed"] == 0
+    assert len(data_files_on_disk(t)) == before
+    assert t.remove_orphans(older_than_sec=0.0)["files_removed"] > 0
+
+
+# --------------------------------------------- bucket-scoped MoR read
+
+def test_mor_read_leaves_clean_buckets_unshuffled(spark, tmp_path):
+    """With deltas outstanding in SOME buckets, the read plan must union the
+    clean buckets' base scan pass-through — no Exchange above it; only the
+    delta-bearing buckets go through the window merge (VERDICT r2 #1)."""
+    t = make_table(
+        spark,
+        tmp_path / "t",
+        buckets=4,
+        properties={"mor_rewrite_ratio": 0.99, "min_mor_base_bytes": 0},
+    )
+    rows = [(f"doc-{i:04d}", [i], 1, "s", False) for i in range(400)]
+    t.merge(delta(spark, rows), epoch=0, delete_col="is_del")
+    # one-key delta -> exactly one dirty bucket, three clean ones
+    t.merge(delta(spark, [("doc-0000", [42], 1, "s", False)]), epoch=1,
+            delete_col="is_del")
+    man = t.manifest()
+    dirty = {f["bucket"] for f in man["files"] if f.get("kind") == "delta"}
+    assert len(dirty) == 1
+
+    df = t.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan and "Window" in plan
+    # the clean-bucket branch prints before the window branch: everything
+    # above the first Window must include a parquet scan and NO exchange
+    clean_branch = plan.split("Window")[0]
+    assert "Scan parquet" in clean_branch
+    assert "Exchange" not in clean_branch
+    # correctness of the merged state
+    state = {r["doc_id"]: r["tokens"] for r in df.collect()}
+    assert state["doc-0000"] == [42]
+    assert len(state) == 400
+
+
+def test_cow_floor_forces_rewrite_below_min_base_bytes(spark, tmp_path):
+    """Below min_mor_base_bytes every epoch takes the plain CoW path — no
+    delta entries ever registered (VERDICT r2 #2: deferral thrash at toy
+    scale)."""
+    t = make_table(
+        spark,
+        tmp_path / "t",
+        properties={"mor_rewrite_ratio": 1e9,  # ratio alone would ALWAYS defer
+                    "min_mor_base_bytes": 1 << 40},
+    )
+    for e in range(3):
+        t.merge(
+            delta(spark, [(f"k{i}", [e], 1, "s", False) for i in range(12)]),
+            epoch=e,
+            delete_col="is_del",
+        )
+    assert not any(f.get("kind") == "delta" for f in t.manifest()["files"])
+    assert {r["tokens"][0] for r in t.read().collect()} == {2}
+
+
+# ------------------------------------------------- NULL delete flags
+
+def test_null_delete_flag_coalesces_to_upsert(spark, tmp_path):
+    """ADVICE r2: a NULL delete_col must not silently vanish the row — it
+    coalesces to False (upsert)."""
+    t = make_table(spark, tmp_path / "t")
+    t.merge(
+        delta(
+            spark,
+            [("a", [1], 1, "s", False), ("b", [2], 1, "s", None),
+             ("c", [3], 1, "s", True)],
+        ),
+        epoch=0,
+        delete_col="is_del",
+    )
+    state = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert state == {"a": [1], "b": [2]}  # b kept, c's delete honored

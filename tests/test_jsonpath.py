@@ -184,3 +184,72 @@ def test_filter_ambiguous_ident_raises():
     # bracket-quoting such names works
     cp = compile_path("$.items[?(@['a<b'] == 1)].name")
     assert cp.read({"items": [{"a<b": 1, "name": "x"}, {"a<b": 2}]}) == ["x"]
+
+
+# --- Jayway 2.4.0 path functions + size/empty filter operators --------------
+
+def test_tail_length_function():
+    # array size, string length, object entry count (Jayway LengthFunction)
+    assert compile_path("$.store.book.length()").read(STORE) == 4
+    assert compile_path("$.store.book[0].author.length()").read(STORE) == 10
+    assert compile_path("$.store.book[0].length()").read(STORE) == 3
+    # type mismatch / absent path -> suppressed to null
+    assert compile_path("$.store.book[0].price.length()").read(STORE) is None
+    assert compile_path("$.nope.length()").read(STORE) is None
+
+
+def test_tail_length_on_indefinite_path_unwraps_single_match():
+    # Jayway's documented '$..book.length() -> 4' shape
+    assert compile_path("$..book.length()").read(STORE) == 4
+
+
+def test_tail_numeric_aggregations():
+    prices = [b["price"] for b in STORE["store"]["book"]]
+    assert compile_path("$..book[*].price.min()").read(STORE) == min(prices)
+    assert compile_path("$..book[*].price.max()").read(STORE) == max(prices)
+    assert compile_path("$..book[*].price.sum()").read(STORE) == pytest.approx(
+        sum(prices)
+    )
+    assert compile_path("$..book[*].price.avg()").read(STORE) == pytest.approx(
+        sum(prices) / len(prices)
+    )
+    mean = sum(prices) / len(prices)
+    assert compile_path("$..book[*].price.stddev()").read(STORE) == pytest.approx(
+        (sum((x - mean) ** 2 for x in prices) / len(prices)) ** 0.5
+    )
+    # aggregation over a definite array value
+    assert compile_path("$.a.sum()").read({"a": [1, 2, 3]}) == 6.0
+    # empty aggregation set throws in Jayway -> suppressed to null
+    assert compile_path("$.a.min()").read({"a": []}) is None
+    assert compile_path("$.a.min()").read({"a": ["x"]}) is None
+
+
+def test_tail_keys_function():
+    assert compile_path("$.store.book[0].keys()").read(STORE) == [
+        "author", "title", "price",
+    ]
+    assert compile_path("$.store.book.keys()").read(STORE) is None
+
+
+def test_tail_function_must_be_last_step():
+    with pytest.raises(JsonPathSyntaxError):
+        compile_path("$.store.length().x")
+
+
+def test_tail_function_path_reports_definite():
+    # functions always yield a single value -> definite read shape
+    assert compile_path("$..book[*].price.sum()").is_definite
+    # a field literally named 'length()' is still addressable bracket-quoted
+    assert compile_path("$['length()']").read({"length()": 7}) == 7
+
+
+def test_filter_size_operator():
+    doc = {"items": [{"v": "abcd"}, {"v": [1, 2, 3, 4]}, {"v": "xy"}, {"v": 4}]}
+    cp = compile_path("$.items[?(@.v size 4)].v")
+    assert cp.read(doc) == ["abcd", [1, 2, 3, 4]]
+
+
+def test_filter_empty_operator():
+    doc = {"items": [{"v": ""}, {"v": []}, {"v": "x"}, {"v": [1]}, {"w": 1}]}
+    assert compile_path("$.items[?(@.v empty true)].v").read(doc) == ["", []]
+    assert compile_path("$.items[?(@.v empty false)].v").read(doc) == ["x", [1]]

@@ -92,7 +92,10 @@ def test_mor_defer_and_read_merge(spark, tmp_path):
     """A small delta against a big base is DEFERRED (delta entries in the
     manifest, no base rewrite); readers merge base+delta with LWW and
     delete suppression; time travel sees the pre-delta state."""
-    t = _mk_table(spark, str(tmp_path / "t"))
+    # floor off: these fixtures are KB-sized, far below the production
+    # min_mor_base_bytes under which deferral never wins
+    t = _mk_table(spark, str(tmp_path / "t"),
+                  properties={"min_mor_base_bytes": 0})
     big = [
         (f"doc-{i:04d}", [(i * 7919 + j * 104729) % 50000 for j in range(50)],
          50, "s", False)
@@ -139,7 +142,8 @@ def test_mor_forced_compaction_bounds_delta_stack(spark, tmp_path):
     t = _mk_table(
         spark,
         str(tmp_path / "t"),
-        properties={"max_delta_files_per_bucket": 2, "mor_rewrite_ratio": 0.0001},
+        properties={"max_delta_files_per_bucket": 2, "mor_rewrite_ratio": 0.0001,
+                    "min_mor_base_bytes": 0},
     )
     # ratio tiny -> every non-fresh epoch would defer; the FILE cap forces
     # periodic per-bucket compaction instead
@@ -167,7 +171,8 @@ def test_mor_forced_compaction_bounds_delta_stack(spark, tmp_path):
 def test_compact_folds_outstanding_deltas(spark, tmp_path):
     # high ratio -> the small epoch-1 delta is always deferred
     t = _mk_table(spark, str(tmp_path / "t"),
-                  properties={"mor_rewrite_ratio": 0.99})
+                  properties={"mor_rewrite_ratio": 0.99,
+                              "min_mor_base_bytes": 0})
     t.merge(
         delta(spark, [(f"doc-{i:04d}", [i], 1, "s", False) for i in range(300)]),
         epoch=0,

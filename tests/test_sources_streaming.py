@@ -204,3 +204,44 @@ def test_read_csv_skip_header_lines_multifile(spark, tmp_path):
     rows = sorted((r["v"], r["s"]) for r in out.collect())
     assert rows == [(0, "a0"), (1, "b0"), (100, "a1"),
                     (101, "b1"), (200, "a2"), (201, "b2")]
+
+
+def test_read_csv_skip_header_lines_split_files(spark, tmp_path):
+    """ADVICE r2: the per-file header skip orders rows by
+    monotonically_increasing_id, which relies on Spark enumerating a file's
+    byte-range splits in offset order. Guard that assumption with files
+    large enough to split into MULTIPLE partitions: the skipped rows must
+    still be exactly each file's first N physical lines."""
+    from embulk_filter_expand_json_spark.sources.files import read_csv
+
+    d = tmp_path / "bigcsv"
+    d.mkdir()
+    n_rows = 5000
+    for i in range(2):
+        lines = ["header,x", "units,y"] + [
+            f"{i * 100000 + j},r{i}_{j}" for j in range(n_rows)
+        ]
+        (d / f"f{i}.csv").write_text("\n".join(lines) + "\n")
+    old_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")  # ~5 splits/file
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        out = read_csv(
+            spark,
+            str(d),
+            columns=[{"name": "v", "type": "long"},
+                     {"name": "s", "type": "string"}],
+            skip_header_lines=2,
+        )
+        # the scan really did split each file across several partitions
+        # (checked on the raw scan: the skip's window shuffle re-partitions)
+        assert spark.read.csv(str(d)).rdd.getNumPartitions() > 2
+        got = sorted(r["v"] for r in out.collect())
+        want = sorted(
+            i * 100000 + j for i in range(2) for j in range(n_rows)
+        )
+        assert got == want  # headers gone, every data row exactly once
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
