@@ -1,8 +1,9 @@
 """Same-session A/B: cdc_replay at the BENCH shape (500k events, 8 epochs,
-32 buckets) under (A) the round-3 CoW floor (min_mor_base_bytes default:
-small bases always take the plain rewrite, no delta machinery) vs (B) the
-round-2 MoR decision rule (floor disabled, ratio 0.2 — what VERDICT r2
-flagged as thrash at toy scale). Burn sentinels recorded around each run.
+32 buckets) under (A) the round-3 SnapTable (min_mor_base_bytes CoW floor +
+single-seq rewrite fast path + bucket-scoped MoR reads) vs (B) the actual
+ROUND-2 SnapTable implementation, loaded verbatim from git history — the
+code VERDICT r2 measured at 48 s on this shape. Same session, same input,
+ABBA order, burn sentinels around each run.
 
 Writes bench_results/ab_cow_mor.json.
 """
@@ -79,33 +80,63 @@ def main() -> None:
     )
     write_changes(spark, cfg, log_path)
 
+    # B: the round-2 SnapTable, verbatim from git (commit 0479500 = the
+    # state VERDICT r2 measured), imported under a private name and swapped
+    # into the pipeline for the B runs only.
+    import importlib.util
+    import subprocess
+
+    r2_src = subprocess.run(
+        ["git", "-C", REPO, "show",
+         "0479500:embulk_filter_expand_json_spark/streaming/snaptable.py"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    r2_path = os.path.join(work, "snaptable_r2.py")
+    with open(r2_path, "w") as f:
+        f.write(r2_src)
+    spec = importlib.util.spec_from_file_location("snaptable_r2", r2_path)
+    snaptable_r2 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(snaptable_r2)
+
+    import embulk_filter_expand_json_spark.streaming.pipeline as P
+
+    snaptable_r3_cls = P.SnapTable
+
     variants = {
-        # A: round-3 default — the floor routes every small-base epoch
-        # through the plain CoW rewrite (staged winners, no delta window)
-        "cow_floor_r3": {},
-        # B: round-2 behavior — floor off, ratio 0.2 (defers, stacks,
-        # force-compacts; the thrash VERDICT r2 reproduced)
-        "mor_r2_rule": {"min_mor_base_bytes": 0},
+        "snaptable_r3": snaptable_r3_cls,
+        "snaptable_r2": snaptable_r2.SnapTable,
     }
+    # untimed warm-up replay: the first pipeline in a session pays JVM/
+    # committer/codegen warmup that would bias whichever variant runs first
+    warm = CdcPipeline(
+        spark, log_path, os.path.join(work, "table_warm"),
+        num_buckets=n_buckets, collect_metrics=False,
+    )
+    warm.run(max_epochs=2)
+    shutil.rmtree(os.path.join(work, "table_warm"), ignore_errors=True)
+
     # ABBA within the session to split credit drain fairly
-    order = ["cow_floor_r3", "mor_r2_rule", "mor_r2_rule", "cow_floor_r3"]
+    order = ["snaptable_r3", "snaptable_r2", "snaptable_r2", "snaptable_r3"]
     results: dict = {k: [] for k in variants}
     runs = []
     for i, name in enumerate(order):
         b0 = burn()
         table = os.path.join(work, f"table_{i}")
-        pipe = CdcPipeline(
-            spark,
-            log_path,
-            table,
-            num_buckets=n_buckets,
-            collect_metrics=False,
-            **variants[name],
-        )
-        t0 = time.time()
-        pipe.run()
-        dt = round(time.time() - t0, 3)
-        rows = pipe.table.read().count()
+        P.SnapTable = variants[name]
+        try:
+            pipe = CdcPipeline(
+                spark,
+                log_path,
+                table,
+                num_buckets=n_buckets,
+                collect_metrics=False,
+            )
+            t0 = time.time()
+            pipe.run()
+            dt = round(time.time() - t0, 3)
+            rows = pipe.table.read().count()
+        finally:
+            P.SnapTable = snaptable_r3_cls
         shutil.rmtree(table, ignore_errors=True)
         results[name].append(dt)
         runs.append({"variant": name, "order": i, "sec": dt,
@@ -113,15 +144,15 @@ def main() -> None:
         print(json.dumps(runs[-1]), file=sys.stderr)
 
     summary = {
-        "metric": "ab_cow_floor_vs_mor_rule",
+        "metric": "ab_snaptable_r3_vs_r2",
         "shape": f"{n_events} events, {epochs} epochs, {n_buckets} buckets, local[32]",
-        "cow_floor_r3_sec": sum(results["cow_floor_r3"]) / 2,
-        "mor_r2_rule_sec": sum(results["mor_r2_rule"]) / 2,
-        "events_per_sec_cow": round(
-            n_events / (sum(results["cow_floor_r3"]) / 2), 1
+        "snaptable_r3_sec": sum(results["snaptable_r3"]) / 2,
+        "snaptable_r2_sec": sum(results["snaptable_r2"]) / 2,
+        "events_per_sec_r3": round(
+            n_events / (sum(results["snaptable_r3"]) / 2), 1
         ),
-        "events_per_sec_mor_r2": round(
-            n_events / (sum(results["mor_r2_rule"]) / 2), 1
+        "events_per_sec_r2": round(
+            n_events / (sum(results["snaptable_r2"]) / 2), 1
         ),
         "runs": runs,
     }
