@@ -87,6 +87,7 @@ class CdcPipeline:
         mor_rewrite_ratio: float = 0.2,
         max_delta_files_per_bucket: int = 8,
         min_mor_base_bytes: int = 64 * 1024 * 1024,
+        gc_keep_snapshots: Optional[int] = None,
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -101,6 +102,12 @@ class CdcPipeline:
         #: resolves there (the QueryExecutionListener that feeds it does not
         #: fire for foreachBatch actions), so that path uses explicit scans.
         self.use_observations = use_observations
+        #: when set, expire_snapshots(keep_last=N) runs after every commit —
+        #: REQUIRED for unbounded replay (10^10 events): every CoW rewrite
+        #: retains superseded files for time travel, so without GC disk
+        #: growth is O(epochs * table size). None = retain everything
+        #: (explicit maintenance via SnapTable.expire_snapshots).
+        self.gc_keep_snapshots = gc_keep_snapshots
         self.offsets_log = os.path.join(table_path, "_checkpoints", "offsets.jsonl")
         if not self.table.exists():
             self.table.create(
@@ -205,8 +212,17 @@ class CdcPipeline:
                 # rare path: an unknown payload key appeared in this epoch.
                 # The stage write was discarded pre-publish (and the rewrite
                 # never ran); evolve additively and redo the epoch with the
-                # extended expansion config.
+                # extended expansion config. This abort is the pipeline's own
+                # decision (not a crash), so its staged files are reclaimed
+                # immediately instead of waiting for an orphan sweep.
                 self._evolve(changes, m)
+                if result.get("orphaned_dir"):
+                    import shutil
+
+                    shutil.rmtree(
+                        os.path.join(self.table.path, result["orphaned_dir"]),
+                        ignore_errors=True,
+                    )
                 result = self._run_merge(changes, epoch, m, detect_drift=False)
         else:
             # streaming/foreachBatch path: Observations don't resolve there,
@@ -217,6 +233,10 @@ class CdcPipeline:
             result = self._run_merge(changes, epoch, m, detect_drift=False)
         m.skipped = result.get("skipped", False)
         m.buckets_touched = result.get("buckets_touched", 0)
+        if self.gc_keep_snapshots is not None and not m.skipped:
+            # inline maintenance (the Iceberg expire_snapshots analog): a
+            # metadata-only filesystem walk, no Spark job
+            self.table.expire_snapshots(keep_last=self.gc_keep_snapshots)
         m.wall_sec = time.time() - t0
         self._append_lineage(m)
         return m

@@ -558,6 +558,21 @@ class SnapTable:
         if extra_properties:
             man["properties"].update(extra_properties)
         version = self._publish(man)
+        # self-cleanup: staged files CONSUMED by the rewrite (not registered
+        # in the manifest) are dead the moment the commit publishes — delete
+        # them here instead of leaving every rewrite epoch's stage dir as
+        # orphans for a later sweep. Crash before this point leaves them for
+        # remove_orphans; crash before publish leaves the whole attempt.
+        registered = {f["path"] for f in new_files}
+        for groups_by_flag in staged.values():
+            for fs in groups_by_flag.values():
+                for rel, _sz in fs:
+                    if rel not in registered:
+                        try:
+                            os.unlink(os.path.join(self.path, rel))
+                        except OSError:
+                            pass
+        self._prune_empty_dirs()
         return {
             "epoch": epoch,
             "skipped": False,

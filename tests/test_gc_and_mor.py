@@ -178,3 +178,39 @@ def test_null_delete_flag_coalesces_to_upsert(spark, tmp_path):
     )
     state = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
     assert state == {"a": [1], "b": [2]}  # b kept, c's delete honored
+
+
+def test_pipeline_inline_gc_bounds_manifests_and_files(spark, tmp_path):
+    """gc_keep_snapshots=N: replaying K epochs leaves at most N manifest
+    versions and only their referenced data files — the state still matches
+    the pure-Python oracle."""
+    from embulk_filter_expand_json_spark.reference_oracle import replay
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    cfg = ChangeGenConfig(n_events=2_000, n_docs=100, batch_size=250, seed=5)
+    log = str(tmp_path / "log")
+    write_changes(spark, cfg, log)
+    pipe = CdcPipeline(
+        spark, log, str(tmp_path / "tbl"), num_buckets=4, gc_keep_snapshots=2
+    )
+    pipe.run()
+    t = pipe.table
+    assert len(t._versions()) <= 2
+    referenced = {
+        os.path.join(t.path, f["path"])
+        for v in t._versions()
+        for f in t.manifest(v)["files"]
+    }
+    assert set(data_files_on_disk(t)) == referenced
+
+    events = [
+        (r["log_offset"], r["op"], r["payload"])
+        for r in spark.read.parquet(log).collect()
+    ]
+    want = replay(events, extra_keys=("lang",))
+    got = {r["doc_id"]: r["n_tok"] for r in t.read().collect()}
+    assert got == {k: v["n_tok"] for k, v in want.items()}
