@@ -167,9 +167,13 @@ class SnapTable:
 
         Merge-on-read: when the manifest carries delta files (deferred
         small-epoch commits), the state is base UNION deltas with
-        last-writer-wins by commit sequence and delete-row suppression —
-        one window shuffle at read time, bounded because merge() force-
-        compacts any bucket whose delta stack exceeds the table's
+        last-writer-wins by commit sequence and delete-row suppression.
+        Resolution is bucket-scoped and stats-informed (see _state_df):
+        clean buckets pass through unshuffled, and when the manifest's
+        recorded delta bytes fit a broadcast the dirty buckets resolve by
+        broadcast anti-join — no base row is ever shuffled at read time in
+        the trickle regime; read amplification stays bounded because
+        merge() force-compacts any bucket whose stack exceeds
         ``max_delta_files_per_bucket``."""
         man = self.manifest(version)
         schema = T.StructType.fromJson(man["schema"])
@@ -207,37 +211,88 @@ class SnapTable:
         clean_base = [f for f in base_files if f["bucket"] not in dirty]
         dirty_base = [f for f in base_files if f["bucket"] in dirty]
 
+        key = man["key"]
         seq_col = "__seq"
         del_col = "__mor_del"
-        parts = [
-            self._read_files(dirty_base, schema)
-            .withColumn(seq_col, F.lit(0).cast("long"))
-            .withColumn(del_col, F.lit(False))
-        ]
         groups: dict = {}
         for f in delta_files:
             groups.setdefault((f["seq"], bool(f["delete"])), []).append(f)
+        parts = []
         for (seq, is_del), fs in sorted(groups.items()):
             parts.append(
                 self._read_files(fs, schema)
                 .withColumn(seq_col, F.lit(seq).cast("long"))
                 .withColumn(del_col, F.lit(is_del))
             )
-        union = parts[0]
+        deltas_df = parts[0]
         for p in parts[1:]:
-            union = union.unionByName(p)
-        key = man["key"]
-        from pyspark.sql import Window
+            deltas_df = deltas_df.unionByName(p)
 
-        # tie-break desc(del_col): if a caller ever violates the one-row-
-        # per-key-per-commit contract, the delete deterministically wins
-        # within a seq instead of leaving the winner shuffle-order-dependent
-        w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(del_col))
-        merged = (
-            union.withColumn("__rn", F.row_number().over(w))
-            .filter((F.col("__rn") == 1) & (~F.col(del_col)))
-            .drop("__rn", seq_col, del_col)
+        def _delta_bytes(f: dict) -> int:
+            if "bytes" in f:
+                return f["bytes"]
+            try:
+                return os.path.getsize(os.path.join(self.path, f["path"]))
+            except OSError:
+                return 1 << 40  # unknown size: assume too big to broadcast
+
+        delta_total = sum(_delta_bytes(f) for f in delta_files)
+        bcast_cap = int(
+            man.get("properties", {}).get(
+                "mor_read_broadcast_bytes", 64 * 1024 * 1024
+            )
         )
+        base_dirty_df = self._read_files(dirty_base, schema)
+
+        if delta_total <= bcast_cap:
+            # STATS-INFORMED RESOLVE (the common trickle case): the manifest
+            # knows the delta stack's exact bytes, so when it fits a
+            # broadcast, delta winners resolve in a window over the (small)
+            # stack alone and base rows are NEVER shuffled — dirty buckets'
+            # base anti-joins the broadcast winner-key set, the same plan
+            # compaction uses at write time. Zero Exchange over any base row
+            # at 100 TB for a trickle of deferred epochs.
+            if len({f["seq"] for f in delta_files}) == 1:
+                # one commit outstanding: its rows ARE the winners (one row
+                # per key per commit), no window needed
+                winners = deltas_df.drop(seq_col)
+            else:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(key).orderBy(
+                    F.desc(seq_col), F.desc(del_col)
+                )
+                winners = (
+                    deltas_df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn", seq_col)
+                )
+            # no distinct on the build side: winners are one-row-per-key by
+            # contract, anti-join semantics ignore dup build keys anyway,
+            # and the distinct would plan a hash exchange of its own
+            survivors = base_dirty_df.join(
+                F.broadcast(winners.select(key)), on=key, how="left_anti"
+            )
+            merged = survivors.unionByName(
+                winners.filter(~F.col(del_col)).drop(del_col)
+            )
+        else:
+            # big-stack fallback: full window over base ∪ deltas of the
+            # dirty buckets (still bucket-scoped). The delete-wins tie-break
+            # keeps contract violations deterministic, as above.
+            from pyspark.sql import Window
+
+            union = base_dirty_df.withColumn(
+                seq_col, F.lit(0).cast("long")
+            ).withColumn(del_col, F.lit(False)).unionByName(deltas_df)
+            w = Window.partitionBy(key).orderBy(
+                F.desc(seq_col), F.desc(del_col)
+            )
+            merged = (
+                union.withColumn("__rn", F.row_number().over(w))
+                .filter((F.col("__rn") == 1) & (~F.col(del_col)))
+                .drop("__rn", seq_col, del_col)
+            )
         if not clean_base:
             return merged
         return self._read_files(clean_base, schema).unionByName(merged)
@@ -519,8 +574,11 @@ class SnapTable:
                     .filter(F.col("__rn") == 1)
                     .drop("__rn", "__seq")
                 )
+            # no distinct: winners are unique per key (window or contract),
+            # and anti-join ignores dup build keys — skipping it removes a
+            # key-hash exchange from every rewrite epoch
             survivors = base.join(
-                F.broadcast(winners.select(key).distinct()), on=key, how="left_anti"
+                F.broadcast(winners.select(key)), on=key, how="left_anti"
             ).withColumn("__mor_del", F.lit(False))
             new_state = (
                 survivors.unionByName(winners)

@@ -108,10 +108,11 @@ def test_remove_orphans_spares_young_files(spark, tmp_path):
 
 # --------------------------------------------- bucket-scoped MoR read
 
-def test_mor_read_leaves_clean_buckets_unshuffled(spark, tmp_path):
-    """With deltas outstanding in SOME buckets, the read plan must union the
-    clean buckets' base scan pass-through — no Exchange above it; only the
-    delta-bearing buckets go through the window merge (VERDICT r2 #1)."""
+def test_mor_read_never_shuffles_base_rows(spark, tmp_path):
+    """With a broadcastable delta stack (the manifest records exact delta
+    bytes), the read plan must contain NO hash-partitioning exchange at all:
+    clean buckets pass through, dirty buckets resolve via a broadcast
+    anti-join of the delta winner keys (VERDICT r2 #1, strengthened)."""
     t = make_table(
         spark,
         tmp_path / "t",
@@ -129,16 +130,45 @@ def test_mor_read_leaves_clean_buckets_unshuffled(spark, tmp_path):
 
     df = t.read()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Union" in plan and "Window" in plan
-    # the clean-bucket branch prints before the window branch: everything
-    # above the first Window must include a parquet scan and NO exchange
-    clean_branch = plan.split("Window")[0]
-    assert "Scan parquet" in clean_branch
-    assert "Exchange" not in clean_branch
+    assert "Union" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan  # zero base-row shuffle
     # correctness of the merged state
     state = {r["doc_id"]: r["tokens"] for r in df.collect()}
     assert state["doc-0000"] == [42]
     assert len(state) == 400
+
+
+def test_mor_read_window_fallback_when_stack_too_big(spark, tmp_path):
+    """mor_read_broadcast_bytes=0 forces the big-stack fallback: the window
+    merge runs over the DIRTY buckets only; the clean buckets' scan still
+    unions in above the window with no exchange over it."""
+    t = make_table(
+        spark,
+        tmp_path / "t",
+        buckets=4,
+        properties={"mor_rewrite_ratio": 0.99, "min_mor_base_bytes": 0,
+                    "mor_read_broadcast_bytes": 0},
+    )
+    rows = [(f"doc-{i:04d}", [i], 1, "s", False) for i in range(400)]
+    t.merge(delta(spark, rows), epoch=0, delete_col="is_del")
+    t.merge(delta(spark, [("doc-0000", [42], 1, "s", False),
+                          ("doc-0001", None, None, None, True)]),
+            epoch=1, delete_col="is_del")
+    # a second stacked delta exercises the multi-seq window resolve
+    t.merge(delta(spark, [("doc-0000", [43], 1, "s", False)]), epoch=2,
+            delete_col="is_del")
+
+    df = t.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    clean_branch = plan.split("Window")[0]
+    assert "Scan parquet" in clean_branch
+    assert "Exchange" not in clean_branch
+    state = {r["doc_id"]: r["tokens"] for r in df.collect()}
+    assert state["doc-0000"] == [43]
+    assert "doc-0001" not in state
+    assert len(state) == 399
 
 
 def test_cow_floor_forces_rewrite_below_min_base_bytes(spark, tmp_path):
