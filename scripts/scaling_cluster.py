@@ -76,9 +76,15 @@ ecfg = ExpandConfig(
     malformed_json_policy="invalid_record")
 log_df = spark.read.parquet(log_path)
 expand_json(log_df, ecfg).agg(Fn.count("doc_id")).collect()  # warm
-t0 = time.time()
-expand_json(log_df, ecfg).agg(Fn.count("doc_id")).collect()
-expand_sec = time.time() - t0
+# min-of-3: the host throttles INTERMITTENTLY mid-run (same-config repeats
+# observed 12.4 s vs 35.7 s back-to-back); the minimum estimates the
+# engine's capability, all repeats are recorded for honesty
+expand_secs = []
+for _ in range(3):
+    t0 = time.time()
+    expand_json(log_df, ecfg).agg(Fn.count("doc_id")).collect()
+    expand_secs.append(round(time.time() - t0, 3))
+expand_sec = min(expand_secs)
 
 from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
 pipe = CdcPipeline(spark, log_path, table_path, num_buckets=64,
@@ -94,6 +100,7 @@ rows = pipe.table.read().count()
 print(json.dumps({"executors": n_exec, "warmup_sec": round(warm, 2),
                   "replay_sec": round(replay_sec, 3),
                   "expand_sec": round(expand_sec, 3),
+                  "expand_secs_all": expand_secs,
                   "epochs_measured": len(metrics),
                   "final_rows": rows}))
 spark.stop()
@@ -131,6 +138,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=8_000_000)
     ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--out", default="scaling_cluster.json",
+                    help="output filename under bench_results/")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -214,9 +223,7 @@ def main() -> None:
     }
     print(json.dumps(summary))
     os.makedirs(os.path.join(repo, "bench_results"), exist_ok=True)
-    with open(
-        os.path.join(repo, "bench_results", "scaling_cluster.json"), "w"
-    ) as f:
+    with open(os.path.join(repo, "bench_results", args.out), "w") as f:
         json.dump(summary, f, indent=1)
 
     print("| stage | 1 exec (8c) ev/s | 4 exec (32c) ev/s | eff raw | eff/hw |",
