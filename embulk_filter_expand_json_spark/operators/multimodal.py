@@ -6,13 +6,15 @@ stores it. All transforms are Arrow-batched ``mapInPandas`` stages so the
 bytes never round-trip through per-row Python calls and the schema /
 partitioning / batch shape is production-real.
 
-The actual codecs (Pillow / libsndfile / ffmpeg) are NOT in this container,
-so the decode kernel is pluggable: ``decoder='real'`` raises
-NotImplementedError at the import site (clearly marked), while the default
-``decoder='fake'`` is a deterministic stand-in (bytes -> seeded pixel/PCM
-tensors) that keeps every Spark-side contract — schemas, null handling,
-batch iteration, feature shapes — fully testable. Swapping in a real codec
-is a one-function change on the executor side only.
+The decode kernel is pluggable per mime type. ``decoder='real'`` REALLY
+decodes the codec-free netpbm formats (binary PGM/PPM — header + raw
+samples, parsed with numpy alone, round-trip-tested against the encoder
+below); compressed formats (PNG/JPEG/WAV...) need codec libraries (Pillow /
+libsndfile / ffmpeg) that are not in this container, so for those mimes
+``decoder='real'`` raises NotImplementedError at a clearly-marked single
+point. The default ``decoder='fake'`` is a deterministic stand-in (bytes ->
+seeded pixel tensors) that keeps every Spark-side contract — schemas, null
+handling, batch iteration, feature shapes — testable regardless of codecs.
 """
 
 from __future__ import annotations
@@ -57,6 +59,27 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     )
 
 
+def synthetic_pgm_media(spark, n: int = 50, size: int = 32, seed: int = 42) -> DataFrame:
+    """Deterministic REAL images: binary PGM bytes built executor-side in an
+    Arrow batch stage (pixels seeded from media_id) — ``decoder='real'``
+    genuinely decodes these, so the full decode path is testable without
+    any codec library or external data."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                rng = np.random.RandomState((int(mid) * 2654435761 + seed) % (1 << 31))
+                img = rng.randint(0, 256, size=(size, size), dtype=np.uint8)
+                rows.append((int(mid), "image/x-portable-graymap",
+                             size, size, encode_pgm(img)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "mime", "width", "height", "data"]
+            )
+
+    return spark.range(n).mapInPandas(gen, IMAGE_SCHEMA)
+
+
 def _fake_decode(data: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in for an image codec: bytes -> (h, w) uint8."""
     digest = hashlib.sha256(data or b"").digest()
@@ -64,12 +87,54 @@ def _fake_decode(data: bytes, width: int, height: int) -> np.ndarray:
     return rng.randint(0, 256, size=(height, width), dtype=np.uint8)
 
 
+def encode_pgm(img: np.ndarray) -> bytes:
+    """Binary PGM (netpbm P5) encoder: 8-bit grayscale, no codec library."""
+    if img.ndim != 2:
+        raise ValueError("PGM encodes 2-D grayscale arrays")
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_netpbm(data: bytes) -> np.ndarray:
+    """Binary netpbm decoder in pure numpy: P5 (PGM, -> (h, w)) and
+    P6 (PPM, -> (h, w, 3)), 8-bit maxval, honoring '#' header comments."""
+    magic = data[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm image (magic {magic!r})")
+    tokens: List[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(data[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only 8-bit netpbm supported (maxval {maxval})")
+    channels = 1 if magic == b"P5" else 3
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * channels, offset=i)
+    return arr.reshape((h, w) if channels == 1 else (h, w, channels))
+
+
 def _real_decode(data: bytes, width: int, height: int) -> np.ndarray:
-    # Real codec path — requires Pillow, which is not available in this
-    # environment. The Spark-side plumbing around this function (schemas,
-    # batching, partitioning) is identical for both decoders.
+    """Real decode path. Netpbm decodes here in pure numpy (PPM collapses
+    to grayscale by channel mean so downstream feature shapes match);
+    compressed codecs require Pillow, absent in this container — THE
+    clearly-marked stub point."""
+    if data[:2] in (b"P5", b"P6"):
+        img = decode_netpbm(data)
+        return img if img.ndim == 2 else img.mean(axis=2).astype(np.uint8)
     raise NotImplementedError(
-        "image decoding requires Pillow; install it and swap decoder='real'"
+        "compressed image decoding (PNG/JPEG/...) requires Pillow; "
+        "netpbm P5/P6 decodes natively — see decode_netpbm"
     )
 
 

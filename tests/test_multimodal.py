@@ -68,3 +68,56 @@ def test_frame_sample_plan(spark):
         by_id.setdefault(r["media_id"], []).append(r["frame_ts"])
     assert by_id[1] == [0.0, 0.5, 1.0, 1.5, 2.0, 2.5]
     assert by_id[2] == [0.0]
+
+
+# --- real netpbm decode path (round 3: decoder='real' is genuinely real
+# for codec-free formats) --------------------------------------------------
+
+def test_netpbm_roundtrip_with_comments():
+    import numpy as np
+
+    from embulk_filter_expand_json_spark.operators.multimodal import (
+        decode_netpbm,
+        encode_pgm,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(9, 13), dtype=np.uint8)
+    assert (decode_netpbm(encode_pgm(img)) == img).all()
+    # header comments (netpbm spec) are skipped
+    raw = encode_pgm(img)
+    commented = b"P5\n# a comment\n13 9\n# another\n255\n" + raw.split(b"255\n", 1)[1]
+    assert (decode_netpbm(commented) == img).all()
+    # P6 color decodes to (h, w, 3)
+    color = rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    p6 = b"P6\n5 4\n255\n" + color.tobytes()
+    assert (decode_netpbm(p6) == color).all()
+    with pytest.raises(ValueError):
+        decode_netpbm(b"GIF89a...")
+
+
+def test_real_decoder_on_pgm_media(spark):
+    """decoder='real' REALLY decodes synthetic PGM media in the Spark stage:
+    features match a local numpy recomputation exactly."""
+    import numpy as np
+
+    from embulk_filter_expand_json_spark.operators.multimodal import (
+        decode_netpbm,
+        image_features,
+        resize_images,
+        synthetic_pgm_media,
+    )
+
+    media = synthetic_pgm_media(spark, n=12, size=24, seed=42)
+    rows = {r["media_id"]: bytes(r["data"]) for r in media.collect()}
+    got = {
+        r["media_id"]: (r["mean_intensity"], r["std_intensity"])
+        for r in image_features(media, decoder="real").collect()
+    }
+    for mid, data in rows.items():
+        img = decode_netpbm(data)
+        assert got[mid][0] == pytest.approx(float(img.mean()))
+        assert got[mid][1] == pytest.approx(float(img.std()))
+    # resize through the real decoder keeps the binary-column contract
+    out = resize_images(media, target=8, decoder="real").collect()
+    assert all(len(r["data"]) == 64 for r in out)
