@@ -31,6 +31,21 @@ def main() -> int:
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--no-evolve", action="store_true")
     ap.add_argument("--quiet-metrics", action="store_true")
+    ap.add_argument(
+        "--gc-keep-snapshots",
+        type=int,
+        default=None,
+        help="expire_snapshots(keep_last=N) after every commit — REQUIRED "
+        "for unbounded replay (disk growth is O(epochs x table) without it); "
+        "None retains all versions for time travel",
+    )
+    ap.add_argument(
+        "--min-mor-base-bytes",
+        type=int,
+        default=64 * 1024 * 1024,
+        help="merge-on-read floor: buckets with less base than this always "
+        "take the plain CoW rewrite (deferral never wins on small bases)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -53,6 +68,8 @@ def main() -> int:
         num_buckets=args.num_buckets,
         auto_evolve=not args.no_evolve,
         collect_metrics=not args.quiet_metrics,
+        gc_keep_snapshots=args.gc_keep_snapshots,
+        min_mor_base_bytes=args.min_mor_base_bytes,
     )
     metrics = pipe.run(max_epochs=args.max_epochs)
     for m in metrics:
