@@ -2,7 +2,7 @@
 
 ``entry(spark)`` smoke-runs the flagship expansion on sf0.001;
 ``queries()``/``oracle_sql()`` pair every implemented operator with a DuckDB
-oracle at sf0.01 (row-count + schema + value-hash compare): all 26 queries
+oracle at sf0.01 (row-count + schema + value-hash compare): all 30 queries
 are hard-verified — the near-dup/ANN family via deterministic planted
 fixtures derived in-query, and the two stateful replays by materializing
 their deterministic change logs at fixed paths and SQL-replaying them in
@@ -313,6 +313,27 @@ SELECT user_id, event_id, event_type, value FROM (
 #: change stream the engine replayed (the stream is a pure function of the
 #: seed, so materializing it in-query and SQL-replaying it in the oracle is
 #: the same planted-fixture pattern as the near-dup queries)
+# brute-force top-10 over embeddings + nine planted scaled clones of the
+# query vector — the shared oracle for BOTH ANN index lifecycles (LSH and
+# IVF probe the same fixture and must recover the same exact answer)
+_KNN_PLANTED_ORACLE = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id = 0),
+    uni AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      UNION ALL
+      SELECT 1000000 + i AS vec_id,
+             list_transform(
+               (SELECT embedding FROM embeddings WHERE vec_id = 0),
+               x -> CAST(x * (1.0 + i / 10000.0) AS FLOAT))::DOUBLE[]
+      FROM generate_series(1, 9) t(i)
+    )
+    SELECT vec_id, round(list_cosine_similarity(emb, q.qv), 6) AS cosine
+    FROM uni, q
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+"""
+
 _CDC_ORACLE_LOG = "/tmp/spark_graft_oracle/cdc_log"
 _STREAM_ORACLE_LOG = "/tmp/spark_graft_oracle/stream_log"
 
@@ -577,6 +598,156 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k through the IVF lifecycle (the second scale path next to
+    knn_lsh): build_ivf_index trains sample k-means centroids and writes a
+    list-partitioned index; ivf_index_topk probes the n_probes nearest
+    lists partition-pruned. Same planted fixture as knn_lsh — spherical
+    (cosine) assignment is scale-invariant, so the nine scaled clones
+    provably share the query's list — hence the same brute-force oracle."""
+    from embulk_filter_expand_json_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    planted = (
+        spark.range(1, 10)
+        .crossJoin(emb.filter(F.col("vec_id") == 0).select("embedding"))
+        .select(
+            (F.col("id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x * (F.lit(1.0) + F.col("id") / F.lit(10000.0)),
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+    )
+    un = emb.unionByName(planted)
+    work = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        path = os.path.join(work, "index")
+        build_ivf_index(un, dim=len(q), path=path, n_lists=16, max_sample=4000)
+        out = ivf_index_topk(spark, path, q, k=10, n_probes=4)
+        return spark.createDataFrame(out.collect(), out.schema)  # detach
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) over events: one shuffle on
+    user_id; the per-session agg reuses that partitioning (single-Exchange
+    plan pinned in tests/test_sessions_windowed.py). Integer-only outputs
+    (epoch micros) so the hash compare is exact."""
+    from embulk_filter_expand_json_spark.operators.sessions import (
+        session_stats,
+    )
+
+    return session_stats(_events(spark, sf_dir), gap_minutes=30)
+
+
+def _feed_time_ordered_files(
+    spark: SparkSession, df: DataFrame, src: str, n_files: int
+) -> None:
+    """Write df as n_files event-time-ordered parquet files (event_id
+    quantiles; the generator's event_id is ts-ordered) — the arrival-order
+    contract the stateful operators document."""
+    import glob as _glob
+
+    os.makedirs(src, exist_ok=True)
+    n = df.count()
+    for i in range(n_files):
+        stage = os.path.join(src, f"_stage{i}")
+        (
+            df.filter(
+                (F.col("event_id") >= i * n // n_files)
+                & (F.col("event_id") < (i + 1) * n // n_files)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{i:02d}.parquet"))
+        shutil.rmtree(stage)
+
+
+def _streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (1h) event-type counts through Structured Streaming:
+    readStream over a 3-file feed, watermarked window agg, complete-mode
+    memory sink, availableNow. The final complete-mode table equals the
+    batch GROUP BY — which is the DuckDB oracle."""
+    from embulk_filter_expand_json_spark.streaming.windowed import (
+        window_start_us,
+        windowed_counts,
+    )
+
+    ev = _events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="wstream_entry_")
+    try:
+        src = os.path.join(work, "in")
+        _feed_time_ordered_files(spark, ev, src, 3)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            windowed_counts(stream, window="1 hour", watermark="30 minutes")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("wc_entry")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = window_start_us(spark.table("wc_entry"))
+        res = spark.createDataFrame(out.collect(), out.schema)  # detach
+        spark.catalog.dropTempView("wc_entry")
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stateful_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts via applyInPandasWithState:
+    lag state carried ACROSS micro-batches (4-file time-ordered feed, one
+    file per trigger), then a batch rollup of the emitted transition log.
+    Oracle: LAG window + GROUP BY in SQL — cross-batch state must
+    reproduce exactly what a global batch LAG sees."""
+    from embulk_filter_expand_json_spark.streaming.stateful import (
+        transitions_stateful,
+    )
+
+    ev = _events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="tstream_entry_")
+    try:
+        src = os.path.join(work, "in")
+        _feed_time_ordered_files(spark, ev, src, 4)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            transitions_stateful(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tr_entry")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.table("tr_entry")
+            .groupBy("prev_type", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        res = spark.createDataFrame(out.collect(), out.schema)  # detach
+        spark.catalog.dropTempView("tr_entry")
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_filter_expand_json_spark.operators.similarity import (
         embedding_near_dup_pairs,
@@ -667,7 +838,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _simhash_near_dups,
         "knn_bruteforce": _knn_bruteforce,
         "knn_lsh": _knn_lsh,
+        "knn_ivf": _knn_ivf,
         "embedding_near_dups": _embedding_near_dups,
+        "sessionize_events": _sessionize_events,
+        "streaming_windowed_agg": _streaming_windowed_agg,
+        "stateful_transitions": _stateful_transitions,
     }
 
 
@@ -747,22 +922,47 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.9,
             extra_pred="AND b.doc_id - a.doc_id = 1000000",
         ),
-        "knn_lsh": """
-            WITH q AS (SELECT embedding::DOUBLE[] AS qv
-                       FROM embeddings WHERE vec_id = 0),
-            uni AS (
-              SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-              UNION ALL
-              SELECT 1000000 + i AS vec_id,
-                     list_transform(
-                       (SELECT embedding FROM embeddings WHERE vec_id = 0),
-                       x -> CAST(x * (1.0 + i / 10000.0) AS FLOAT))::DOUBLE[]
-              FROM generate_series(1, 9) t(i)
+        # knn_lsh and knn_ivf share the fixture AND the oracle: both index
+        # lifecycles must recover the same brute-force top-10
+        "knn_lsh": _KNN_PLANTED_ORACLE,
+        "knn_ivf": _KNN_PLANTED_ORACLE,
+        "sessionize_events": """
+            WITH lagged AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+              FROM events
+            ), marked AS (
+              SELECT user_id, event_id, t_us,
+                     CASE WHEN prev_us IS NULL
+                               OR t_us - prev_us > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM lagged
+            ), sess AS (
+              SELECT user_id, t_us,
+                     sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY t_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM marked
             )
-            SELECT vec_id, round(list_cosine_similarity(emb, q.qv), 6) AS cosine
-            FROM uni, q
-            ORDER BY cosine DESC, vec_id ASC
-            LIMIT 10
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(t_us) AS start_us, max(t_us) AS end_us,
+                   max(t_us) - min(t_us) AS duration_us
+            FROM sess GROUP BY user_id, session_seq
+        """,
+        "streaming_windowed_agg": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "stateful_transitions": """
+            SELECT prev_type, event_type, count(*) AS n FROM (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+                     event_type
+              FROM events
+            ) WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         "embedding_near_dups": """
             WITH uni AS (

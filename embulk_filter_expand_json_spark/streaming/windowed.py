@@ -1,0 +1,68 @@
+"""Event-time windowed aggregation for Structured Streaming.
+
+The watermark + tumbling-window aggregation the brief's streaming story
+calls for, over the same events-table shape the expansion operator feeds
+(expand props -> sessionize/window downstream):
+
+- ``windowed_counts`` declares the agg once; it runs identically on a
+  batch DataFrame (degenerate case: watermark is a no-op) and on a
+  readStream source.
+- Watermark semantics: in UPDATE/APPEND mode, events later than
+  ``watermark`` behind the max seen event time are dropped from their
+  (already finalized) windows — pinned by tests/test_streaming_windowed.py
+  with a two-batch file feed.
+- COMPLETE mode re-emits the full window table each trigger, so after an
+  availableNow run its final output equals the batch GROUP BY — that is
+  the oracle bridge used by the ``streaming_windowed_agg`` contract query.
+
+Scale notes (100 TB/day stream): state size is O(open windows × keys) —
+bounded by the watermark horizon, not the stream length; the shuffle key
+is (window, key) so partial aggregation happens map-side per micro-batch.
+COMPLETE mode is the small-cardinality convenience (the result table here
+is hours × event_types); high-cardinality keys go APPEND into a keyed
+sink, which emits each window exactly once when the watermark closes it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+def _event_time(events: DataFrame, ts_col: str):
+    """Watermarks require a TIMESTAMP (an instant). TIMESTAMP_NTZ wall
+    clocks are pinned to UTC with a LITERAL zone (session-tz-independent),
+    so window boundaries are a pure function of the stored wall clock."""
+    if events.schema[ts_col].dataType.typeName() == "timestamp_ntz":
+        return F.to_utc_timestamp(F.col(ts_col), "UTC")
+    return F.col(ts_col)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """(window, *keys, n_events) tumbling-window counts.
+
+    On a streaming DataFrame the watermark bounds state and late data; on
+    a batch DataFrame the same plan runs with the watermark omitted (it
+    would be a no-op there anyway).
+    """
+    src = events.withColumn("__evt", _event_time(events, ts_col))
+    if src.isStreaming:
+        src = src.withWatermark("__evt", watermark)
+    return src.groupBy(F.window("__evt", window), *keys).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def window_start_us(df: DataFrame) -> DataFrame:
+    """Flatten the window struct to integer epoch-micros of the start —
+    hash-comparable across engines (see operators/sessions._epoch_us)."""
+    other = [c for c in df.columns if c != "window"]
+    return df.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"), *other
+    )

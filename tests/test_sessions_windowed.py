@@ -1,0 +1,259 @@
+"""Sessionization, IVF ANN, streaming windowed agg, stateful transitions.
+
+Correctness on crafted micro-fixtures plus the plan-quality contracts the
+100 TB design depends on (single exchange, partition-pruned probes,
+watermark late-data semantics)."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from embulk_filter_expand_json_spark.operators.sessions import (
+    session_stats,
+    sessionize,
+)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=ts,
+                user_id=u,
+                event_type=et,
+            )
+            for i, (ts, u, et) in enumerate(rows)
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def test_sessionize_gap_boundaries(spark):
+    ev = _mk_events(
+        spark,
+        [
+            ("2024-01-01 00:00:00", 1, "a"),
+            ("2024-01-01 00:29:59", 1, "b"),  # 29:59 gap -> same session
+            ("2024-01-01 00:59:59", 1, "c"),  # exactly 30:00 -> same (strict >)
+            ("2024-01-01 01:30:00", 1, "d"),  # 30:01 -> new session
+            ("2024-01-01 00:00:00", 2, "e"),  # other user independent
+        ],
+    )
+    got = {
+        (r["event_id"], r["session_seq"])
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert got == {(0, 1), (1, 1), (2, 1), (3, 2), (4, 1)}
+
+
+def test_session_stats_values(spark):
+    ev = _mk_events(
+        spark,
+        [
+            ("2024-01-01 00:00:00", 1, "a"),
+            ("2024-01-01 00:10:00", 1, "b"),
+            ("2024-01-01 02:00:00", 1, "c"),
+        ],
+    )
+    rows = {
+        (r["user_id"], r["session_seq"]): r
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    s1 = rows[(1, 1)]
+    assert s1["n_events"] == 2
+    assert s1["duration_us"] == 600_000_000
+    assert s1["start_us"] == 1_704_067_200_000_000  # 2024-01-01T00:00Z
+    assert rows[(1, 2)]["n_events"] == 1
+
+
+def test_session_stats_single_exchange(spark):
+    """The group-by on (user, session_seq) must REUSE the window's
+    HashPartitioning(user) — [user] is a subset of the grouping keys, so
+    ClusteredDistribution is already satisfied: exactly ONE exchange."""
+    ev = _mk_events(spark, [("2024-01-01 00:00:00", 1, "a")])
+    plan = session_stats(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_ivf_index_prunes_and_recalls(spark, tmp_path):
+    from embulk_filter_expand_json_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((400, 16)).astype("float32")
+    q = base[0]
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in base[i]])
+        for i in range(400)
+    ]
+    # planted scaled clones of the query: same list by construction
+    # (spherical assignment is scale-invariant)
+    rows += [
+        Row(vec_id=1000 + j, embedding=[float(x * (1 + j / 100)) for x in q])
+        for j in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(df, dim=16, path=path, n_lists=8, max_sample=500)
+    out = ivf_index_topk(spark, path, [float(x) for x in q], k=5, n_probes=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [list_id" in plan  # pruned probe, not a scan
+    ids = [r["vec_id"] for r in out.collect()]
+    assert set(ids) == {0, 1001, 1002, 1003, 1004}  # cosine-1.0 family
+
+
+def test_ivf_centroids_deterministic():
+    from embulk_filter_expand_json_spark.operators.ivf import train_centroids
+
+    x = np.random.RandomState(3).standard_normal((200, 8)).astype("float32")
+    a = train_centroids(x, n_lists=4, seed=42)
+    b = train_centroids(x, n_lists=4, seed=42)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0, atol=1e-5)
+
+
+def _feed_files(spark, df, d, n_files, order_col="event_id"):
+    """Write df as n_files time-ordered parquet files under d (file k holds
+    the k-th quantile of order_col, matching arrival order)."""
+    os.makedirs(d, exist_ok=True)
+    n = df.count()
+    for i in range(n_files):
+        stage = os.path.join(d, f"_stage{i}")
+        (
+            df.filter(
+                (F.col(order_col) >= i * n // n_files)
+                & (F.col(order_col) < (i + 1) * n // n_files)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(d, f"{i:02d}.parquet"))
+        shutil.rmtree(stage)
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    """Complete-mode availableNow over a file feed == batch GROUP BY."""
+    from embulk_filter_expand_json_spark.streaming.windowed import (
+        window_start_us,
+        windowed_counts,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "in")
+    _feed_files(spark, ev, src, 3)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        windowed_counts(stream, window="1 hour", watermark="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wc_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start_us"], r["event_type"]): r["n_events"]
+        for r in window_start_us(spark.table("wc_t")).collect()
+    }
+    want = {
+        (r["window_start_us"], r["event_type"]): r["n_events"]
+        for r in window_start_us(windowed_counts(ev)).collect()
+    }
+    assert got == want and len(want) > 10
+
+
+def test_windowed_counts_drops_late_events(spark, tmp_path):
+    """APPEND mode emits each window exactly once when the watermark closes
+    it; a later event for an already-closed window is dropped. The feed
+    spreads over four batches because watermark advancement is one batch
+    behind the data that moves it, and eviction runs at end-of-batch:
+      b0: 00:10        -> hour-0 state opens
+      b1: 03:00        -> watermark (next batch) = 02:50
+      b2: 03:05 spacer -> hour-0 closes, EMITTED once (count 1), evicted
+      b3: 00:20 late   -> behind the watermark, window closed: dropped
+    """
+    from embulk_filter_expand_json_spark.streaming.windowed import (
+        window_start_us,
+        windowed_counts,
+    )
+
+    feed = [
+        _mk_events(spark, [("2024-01-01 00:10:00", 1, "a")]),
+        _mk_events(spark, [("2024-01-01 03:00:00", 1, "a")]),
+        _mk_events(spark, [("2024-01-01 03:05:00", 1, "a")]),
+        _mk_events(spark, [("2024-01-01 00:20:00", 1, "a")]),  # late
+    ]
+    src = str(tmp_path / "late_in")
+    os.makedirs(src)
+    for i, df in enumerate(feed):
+        stage = str(tmp_path / f"_s{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema(feed[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_counts(stream, window="1 hour", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wc_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = window_start_us(spark.table("wc_late")).collect()
+    h0 = [r["n_events"] for r in rows if r["window_start_us"] == 1_704_067_200_000_000]
+    assert h0 == [1]  # emitted exactly once, late event never counted
+
+
+def test_stateful_transitions_cross_batch(spark, tmp_path):
+    """State must carry the last event across micro-batches: with one
+    event per file, every transition pairs events from DIFFERENT batches."""
+    from embulk_filter_expand_json_spark.streaming.stateful import (
+        transitions_stateful,
+    )
+
+    ev = _mk_events(
+        spark,
+        [
+            ("2024-01-01 00:00:00", 1, "view"),
+            ("2024-01-01 00:01:00", 1, "click"),
+            ("2024-01-01 00:02:00", 1, "buy"),
+            ("2024-01-01 00:00:30", 2, "view"),
+        ],
+    )
+    src = str(tmp_path / "tr_in")
+    _feed_files(spark, ev, src, 4)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        transitions_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tr_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["prev_type"], r["event_type"])
+        for r in spark.table("tr_t").collect()
+    }
+    assert got == {(1, "view", "click"), (1, "click", "buy")}
