@@ -2,7 +2,7 @@
 
 ``entry(spark)`` smoke-runs the flagship expansion on sf0.001;
 ``queries()``/``oracle_sql()`` pair every implemented operator with a DuckDB
-oracle at sf0.01 (row-count + schema + value-hash compare): all 30 queries
+oracle at sf0.01 (row-count + schema + value-hash compare): all 31 queries
 are hard-verified — the near-dup/ANN family via deterministic planted
 fixtures derived in-query, and the two stateful replays by materializing
 their deterministic change logs at fixed paths and SQL-replaying them in
@@ -598,6 +598,38 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass — the operators composed the way a real
+    training-data pipeline chains them: quality gate -> exact dedup (min-id
+    keeps originals over the planted clones) -> per-doc token/lang stats.
+    One hash shuffle total (the dedup groupBy); the quality filter and the
+    stats stay inside the scan/post-agg projections under codegen."""
+    from embulk_filter_expand_json_spark.functions.text import (
+        bpe_ish_token_count,
+        lang_id,
+        quality_score,
+        whitespace_token_count,
+    )
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        exact_dedup,
+    )
+
+    base = _documents(spark, sf_dir).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    un = base.unionByName(planted)
+    kept = un.filter(quality_score(F.col("text")) >= 0.5)
+    ded = exact_dedup(kept)
+    t = F.col("text")
+    return ded.select(
+        "doc_id",
+        whitespace_token_count(t).alias("ws_tokens"),
+        bpe_ish_token_count(t).alias("bpe_tokens"),
+        lang_id(t).alias("lang_pred"),
+    )
+
+
 def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k through the IVF lifecycle (the second scale path next to
     knn_lsh): build_ivf_index trains sample k-means centroids and writes a
@@ -841,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _knn_ivf,
         "embedding_near_dups": _embedding_near_dups,
         "sessionize_events": _sessionize_events,
+        "training_pipeline_docs": _training_pipeline_docs,
         "streaming_windowed_agg": _streaming_windowed_agg,
         "stateful_transitions": _stateful_transitions,
     }
@@ -926,6 +959,62 @@ def oracle_sql() -> dict[str, str]:
         # lifecycles must recover the same brute-force top-10
         "knn_lsh": _KNN_PLANTED_ORACLE,
         "knn_ivf": _KNN_PLANTED_ORACLE,
+        "training_pipeline_docs": """
+            WITH uni AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 50 = 0
+            ), scored AS (
+              SELECT doc_id, text,
+                     round((least(length(text) / 500.0, 1.0)
+                            + (1.0 - least(
+                                CASE WHEN length(text) = 0 THEN 0.0
+                                     ELSE len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                                          / length(text) END * 4.0, 1.0))
+                            + least(
+                                CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0
+                                     THEN 0.0
+                                     ELSE len(list_filter(
+                                            regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                            w -> w IN ('the','and','of','to','in')))::DOUBLE
+                                          / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                                END * 5.0, 1.0)
+                           ) / 3.0, 6) AS qs
+              FROM uni
+            ), kept AS (
+              SELECT doc_id, text FROM scored WHERE qs >= 0.5
+            ), ded AS (
+              SELECT doc_id, text, row_number() OVER (
+                PARTITION BY md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g')))
+                ORDER BY doc_id) AS rn
+              FROM kept
+            )
+            , surv AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+              FROM ded WHERE rn = 1
+            ), h AS (
+              SELECT doc_id, text,
+                len(list_filter(words, x -> x IN ('the','and','of','to','in'))) AS h_en,
+                len(list_filter(words, x -> x IN ('der','die','und','nicht','das'))) AS h_de,
+                len(list_filter(words, x -> x IN ('le','la','et','les','des'))) AS h_fr,
+                len(list_filter(words, x -> x IN ('el','la','que','de','los'))) AS h_es
+              FROM surv
+            )
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                       AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+                       AS bpe_tokens,
+                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM h
+        """,
         "sessionize_events": """
             WITH lagged AS (
               SELECT user_id, event_id, epoch_us(ts) AS t_us,
