@@ -2,7 +2,7 @@
 
 ``entry(spark)`` smoke-runs the flagship expansion on sf0.001;
 ``queries()``/``oracle_sql()`` pair every implemented operator with a DuckDB
-oracle at sf0.01 (row-count + schema + value-hash compare): all 31 queries
+oracle at sf0.01 (row-count + schema + value-hash compare): all 32 queries
 are hard-verified — the near-dup/ANN family via deterministic planted
 fixtures derived in-query, and the two stateful replays by materializing
 their deterministic change logs at fixed paths and SQL-replaying them in
@@ -722,6 +722,7 @@ def _streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(work, "in")
         _feed_time_ordered_files(spark, ev, src, 3)
         stream = spark.readStream.schema(ev.schema).parquet(src)
+        _drop_view_if_exists(spark, "wc_entry")
         q = (
             windowed_counts(stream, window="1 hour", watermark="30 minutes")
             .writeStream.outputMode("complete")
@@ -734,6 +735,49 @@ def _streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = window_start_us(spark.table("wc_entry"))
         res = spark.createDataFrame(out.collect(), out.schema)  # detach
         spark.catalog.dropTempView("wc_entry")
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _drop_view_if_exists(spark: SparkSession, name: str) -> None:
+    """A prior failed run can leave the memory sink's temp view behind;
+    starting a new stream with the same queryName would then collide."""
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+
+
+def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization (F.session_window): 30-min-gap
+    sessions merged incrementally across a 3-file availableNow feed,
+    complete-mode final table == the batch gap-sessionizer == the SQL
+    oracle (boundary semantics coincide on micro-timestamped data — no
+    exact-gap pairs exist in the testdata, checked up to sf0.1)."""
+    from embulk_filter_expand_json_spark.streaming.windowed import (
+        session_windows,
+    )
+
+    ev = _events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sess_stream_entry_")
+    try:
+        src = os.path.join(work, "in")
+        _feed_time_ordered_files(spark, ev, src, 3)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        _drop_view_if_exists(spark, "sw_entry")
+        q = (
+            session_windows(stream, gap_minutes=30)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("sw_entry")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table("sw_entry")
+        res = spark.createDataFrame(out.collect(), out.schema)  # detach
+        spark.catalog.dropTempView("sw_entry")
         return res
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -759,6 +803,7 @@ def _stateful_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
+        _drop_view_if_exists(spark, "tr_entry")
         q = (
             transitions_stateful(stream)
             .writeStream.outputMode("append")
@@ -875,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "training_pipeline_docs": _training_pipeline_docs,
         "streaming_windowed_agg": _streaming_windowed_agg,
+        "streaming_sessionize": _streaming_sessionize,
         "stateful_transitions": _stateful_transitions,
     }
 
@@ -1043,6 +1089,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
                    event_type, count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_sessionize": """
+            WITH lagged AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+              FROM events
+            ), marked AS (
+              SELECT user_id, event_id, t_us,
+                     CASE WHEN prev_us IS NULL
+                               OR t_us - prev_us > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM lagged
+            ), sess AS (
+              SELECT user_id, t_us,
+                     sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY t_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM marked
+            )
+            SELECT user_id, min(t_us) AS start_us, max(t_us) AS last_us,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, session_seq
         """,
         "stateful_transitions": """
             SELECT prev_type, event_type, count(*) AS n FROM (

@@ -59,6 +59,45 @@ def windowed_counts(
     )
 
 
+def session_windows(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Native streaming sessionization: ``F.session_window`` merges a
+    user's events whose gaps are under ``gap_minutes`` — the Structured
+    Streaming twin of operators/sessions.sessionize (state lives in the
+    session-window store, merged incrementally across micro-batches,
+    evicted once the watermark passes a session's close).
+
+    Boundary semantics: session_window closes at a STRICT < gap while the
+    batch sessionizer merges at <= gap; the two differ only for events
+    exactly gap apart (micro-timestamped data makes that measure-zero —
+    asserted against the batch sessionizer in tests).
+
+    Output: (user_id, start_us, last_us, n_events) with last_us the last
+    event's time (window end minus the gap), as integer epoch micros.
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    src = events.withColumn("__evt", _event_time(events, ts_col))
+    if src.isStreaming:
+        src = src.withWatermark("__evt", watermark)
+    agg = src.groupBy(
+        F.session_window("__evt", f"{int(gap_minutes)} minutes"),
+        user_col,
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        F.col(user_col),
+        F.unix_micros(F.col("session_window.start")).alias("start_us"),
+        (F.unix_micros(F.col("session_window.end")) - F.lit(gap_us)).alias(
+            "last_us"
+        ),
+        "n_events",
+    )
+
+
 def window_start_us(df: DataFrame) -> DataFrame:
     """Flatten the window struct to integer epoch-micros of the start —
     hash-comparable across engines (see operators/sessions._epoch_us)."""

@@ -220,6 +220,42 @@ def test_windowed_counts_drops_late_events(spark, tmp_path):
     assert h0 == [1]  # emitted exactly once, late event never counted
 
 
+def test_session_windows_stream_equals_batch_sessionizer(spark, tmp_path):
+    """F.session_window streaming sessionization must produce exactly the
+    batch gap-sessionizer's sessions (boundary semantics coincide when no
+    pair of events is exactly gap apart — true for the testdata)."""
+    from embulk_filter_expand_json_spark.streaming.windowed import (
+        session_windows,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "sw_in")
+    _feed_files(spark, ev, src, 3)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        session_windows(stream, gap_minutes=30)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sw_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["start_us"], r["last_us"], r["n_events"])
+        for r in spark.table("sw_t").collect()
+    }
+    want = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    assert got == want and len(want) > 500
+
+
 def test_stateful_transitions_cross_batch(spark, tmp_path):
     """State must carry the last event across micro-batches: with one
     event per file, every transition pairs events from DIFFERENT batches."""
