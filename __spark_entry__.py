@@ -2,7 +2,7 @@
 
 ``entry(spark)`` smoke-runs the flagship expansion on sf0.001;
 ``queries()``/``oracle_sql()`` pair every implemented operator with a DuckDB
-oracle at sf0.01 (row-count + schema + value-hash compare): all 32 queries
+oracle at sf0.01 (row-count + schema + value-hash compare): all 33 queries
 are hard-verified — the near-dup/ANN family via deterministic planted
 fixtures derived in-query, and the two stateful replays by materializing
 their deterministic change logs at fixed paths and SQL-replaying them in
@@ -313,6 +313,33 @@ SELECT user_id, event_id, event_type, value FROM (
 #: change stream the engine replayed (the stream is a pure function of the
 #: seed, so materializing it in-query and SQL-replaying it in the oracle is
 #: the same planted-fixture pattern as the near-dup queries)
+# 30-min-gap sessionization as pure SQL: lag -> boundary flag -> running
+# sum -> per-session rollup (integer epoch-micros throughout)
+_SESSIONIZE_ORACLE = """
+    WITH lagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, t_us,
+             CASE WHEN prev_us IS NULL
+                       OR t_us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM lagged
+    ), sess AS (
+      SELECT user_id, t_us,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(t_us) AS start_us, max(t_us) AS end_us,
+           max(t_us) - min(t_us) AS duration_us
+    FROM sess GROUP BY user_id, session_seq
+"""
+
 # brute-force top-10 over embeddings + nine planted scaled clones of the
 # query vector — the shared oracle for BOTH ANN index lifecycles (LSH and
 # IVF probe the same fixture and must recover the same exact answer)
@@ -680,6 +707,21 @@ def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_events(spark, sf_dir), gap_minutes=30)
 
 
+def _sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-pass sessionization (events shuffled by
+    (user, 1h-chunk); boundary sessions stitched over per-chunk summaries).
+    Must be indistinguishable from the plain sessionizer — it shares
+    sessionize_events' oracle, and the 1-hour chunk against a 30-minute gap
+    makes cross-chunk stitching the common case, not a corner."""
+    from embulk_filter_expand_json_spark.operators.sessions import (
+        session_stats_chunked,
+    )
+
+    return session_stats_chunked(
+        _events(spark, sf_dir), gap_minutes=30, chunk_hours=1
+    )
+
+
 def _feed_time_ordered_files(
     spark: SparkSession, df: DataFrame, src: str, n_files: int
 ) -> None:
@@ -918,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _knn_ivf,
         "embedding_near_dups": _embedding_near_dups,
         "sessionize_events": _sessionize_events,
+        "sessionize_chunked": _sessionize_chunked,
         "training_pipeline_docs": _training_pipeline_docs,
         "streaming_windowed_agg": _streaming_windowed_agg,
         "streaming_sessionize": _streaming_sessionize,
@@ -1061,30 +1104,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'de' END AS lang_pred
             FROM h
         """,
-        "sessionize_events": """
-            WITH lagged AS (
-              SELECT user_id, event_id, epoch_us(ts) AS t_us,
-                     lag(epoch_us(ts)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-              FROM events
-            ), marked AS (
-              SELECT user_id, event_id, t_us,
-                     CASE WHEN prev_us IS NULL
-                               OR t_us - prev_us > 1800000000
-                          THEN 1 ELSE 0 END AS is_new
-              FROM lagged
-            ), sess AS (
-              SELECT user_id, t_us,
-                     sum(is_new) OVER (
-                       PARTITION BY user_id ORDER BY t_us, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_seq
-              FROM marked
-            )
-            SELECT user_id, session_seq, count(*) AS n_events,
-                   min(t_us) AS start_us, max(t_us) AS end_us,
-                   max(t_us) - min(t_us) AS duration_us
-            FROM sess GROUP BY user_id, session_seq
-        """,
+        # the chunked (skew-resistant) sessionizer must be output-identical
+        # to the plain one, so both run against the SAME oracle
+        "sessionize_events": _SESSIONIZE_ORACLE,
+        "sessionize_chunked": _SESSIONIZE_ORACLE,
         "streaming_windowed_agg": """
             SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
                    event_type, count(*) AS n_events

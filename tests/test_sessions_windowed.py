@@ -80,6 +80,40 @@ def test_session_stats_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_chunked_sessionizer_stitches_chains(spark):
+    """A session spanning THREE chunk boundaries (events every 20 min
+    across 4 hours with 1h chunks) must stitch into one session; the
+    chunked output must equal the plain sessionizer exactly."""
+    from embulk_filter_expand_json_spark.operators.sessions import (
+        session_stats_chunked,
+    )
+
+    rows = [(f"2024-01-01 {h:02d}:{m:02d}:00", 1, "a")
+            for h in range(4) for m in (0, 20, 40)]
+    rows.append(("2024-01-01 09:00:00", 1, "b"))  # separate session
+    rows.append(("2024-01-01 00:30:00", 2, "c"))  # other user
+    ev = _mk_events(spark, rows)
+    plain = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    chunked = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in session_stats_chunked(ev, gap_minutes=30, chunk_hours=1).collect()
+    }
+    assert chunked == plain
+    assert plain[(1, 1)][0] == 12  # the chain stitched across 3 boundaries
+    # pass-1 exchange is (user, chunk) — hot users split; pass-2 is over
+    # summaries only: exactly two exchanges total
+    plan = (
+        session_stats_chunked(ev, chunk_hours=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2, plan
+
+
 def test_ivf_index_prunes_and_recalls(spark, tmp_path):
     from embulk_filter_expand_json_spark.operators.ivf import (
         build_ivf_index,
