@@ -114,6 +114,77 @@ def test_chunked_sessionizer_stitches_chains(spark):
     assert plan.count("Exchange") == 2, plan
 
 
+def test_sessionizers_match_python_reference_randomized(spark):
+    """200 random users in one DataFrame, gaps drawn to hit the nasty
+    spots — exact-gap ties (merge under <=... no: strict >, so exact gap
+    MERGES), chunk-boundary adjacency, empty-chunk chains, single events.
+    Plain and chunked sessionizers must both equal an independent
+    pure-Python reference."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from embulk_filter_expand_json_spark.operators.sessions import (
+        session_stats_chunked,
+    )
+
+    gap_us = 30 * 60 * 1_000_000
+    chunk_us = 3600 * 1_000_000
+    rng = np.random.RandomState(99)
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00Z
+    rows, expected = [], {}
+    eid = 0
+    for u in range(200):
+        n = int(rng.randint(1, 12))
+        t = base_us + int(rng.randint(0, 48 * chunk_us))
+        times = []
+        for _ in range(n):
+            times.append(t)
+            kind = rng.randint(4)
+            if kind == 0:
+                step = int(gap_us)  # exactly the gap -> same session
+            elif kind == 1:
+                step = int(gap_us) + 1  # just over -> new session
+            elif kind == 2:
+                # land exactly on the next chunk boundary
+                step = chunk_us - (t % chunk_us)
+                step = step if step > 0 else chunk_us
+            else:
+                step = int(rng.randint(1, 2 * gap_us))
+            t += step
+        # python reference
+        sess, seq = [], 0
+        prev = None
+        for tt in times:
+            if prev is None or tt - prev > gap_us:
+                seq += 1
+                sess.append([tt, tt, 0])
+            sess[-1][1] = tt
+            sess[-1][2] += 1
+            prev = tt
+        for i, (s, e, c) in enumerate(sess, start=1):
+            expected[(u, i)] = (c, s, e)
+        for tt in times:
+            rows.append(Row(user_id=u, t_us=tt, event_id=eid))
+            eid += 1
+    ev = spark.createDataFrame(rows).select(
+        "user_id",
+        F.timestamp_micros(F.col("t_us")).alias("ts"),
+        "event_id",
+    )
+    for fn in (
+        lambda d: session_stats(d, gap_minutes=30),
+        lambda d: session_stats_chunked(d, gap_minutes=30, chunk_hours=1),
+    ):
+        got = {
+            (r["user_id"], r["session_seq"]): (
+                r["n_events"], r["start_us"], r["end_us"],
+            )
+            for r in fn(ev).collect()
+        }
+        assert got == expected
+
+
 def test_ivf_index_prunes_and_recalls(spark, tmp_path):
     from embulk_filter_expand_json_spark.operators.ivf import (
         build_ivf_index,
