@@ -22,6 +22,11 @@ Both paths implement the invalid-record channel: bad rows are *dropped*
 (stop_on_invalid_record=false, counted in ``metrics``) or abort the job
 (true) — FilteredPageOutput.java:247-264.
 
+Both strategies are stateless projections, so the SAME call runs on a
+Structured Streaming DataFrame unmodified (pinned equal to the batch
+result in tests/test_sources_streaming.py) — the reference can only run
+inside an Embulk batch load.
+
 Known Catalyst-path deviation (differential-fuzzed, tests/test_differential
 .py): JSON *integers beyond int64* pass through Jackson's double conversion
 inside get_json_object (15 significant digits) before casting, while the

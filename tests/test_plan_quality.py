@@ -140,3 +140,16 @@ def test_minhash_band_shuffle_is_ids_only(spark):
             proj = below.split("Project [", 1)
             assert len(proj) > 1
             assert "minhash" not in proj[1].split("]")[0]
+
+
+def test_training_pipeline_single_shuffle_pruned_scan(spark):
+    """The composed curation pass (quality gate -> exact dedup -> stats)
+    must stay whole-stage JVM (zero Python stages), read only (doc_id,
+    text) from parquet, and shuffle exactly once (the dedup groupBy)."""
+    import __spark_entry__ as S
+
+    out = S.queries()["training_pipeline_docs"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(out)
+    assert plan.count("Exchange") == 1, plan
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan

@@ -245,3 +245,35 @@ def test_read_csv_skip_header_lines_split_files(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
         spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+
+@pytest.mark.parametrize("mode", ["catalyst", "arrow"])
+def test_expand_json_runs_on_streaming_frames(spark, tmp_path, mode):
+    """The expansion operator is stateless, so BOTH physical strategies run
+    unmodified on a readStream source (Embulk is batch-only; here the same
+    plan serves batch and streaming) and match the batch result exactly."""
+    import shutil
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / f"exp_stream_{mode}")
+    os.makedirs(src)
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", os.path.join(src, "e.parquet")
+    )
+    cfg = {
+        "json_column_name": "props",
+        "expanded_columns": [{"name": "k", "type": "long"}],
+    }
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        expand_json(stream, cfg, mode=mode)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(f"exp_stream_{mode}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(f"exp_stream_{mode}").orderBy("event_id").toPandas()
+    want = expand_json(ev, cfg, mode=mode).orderBy("event_id").toPandas()
+    assert got.equals(want) and len(got) == 1000
