@@ -167,6 +167,25 @@ def main() -> None:
         .collect(),
     )
 
+    # --- analytics layer over the same events table ------------------------
+    from embulk_filter_expand_json_spark.operators.sessions import (
+        session_stats_chunked,
+    )
+    from embulk_filter_expand_json_spark.streaming.windowed import (
+        windowed_counts,
+    )
+
+    timed(
+        "sessionize",
+        lambda: session_stats_chunked(events, chunk_hours=1)
+        .agg(F.count("*"), F.sum("n_events"))
+        .collect(),
+    )
+    timed(
+        "windowed_counts",
+        lambda: windowed_counts(events).agg(F.sum("n_events")).collect(),
+    )
+
     # --- full CDC replay, the headline ------------------------------------
     n_changes = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", str(n_events_tbl * 5)))
     work = tempfile.mkdtemp(
