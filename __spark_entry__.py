@@ -2,7 +2,7 @@
 
 ``entry(spark)`` smoke-runs the flagship expansion on sf0.001;
 ``queries()``/``oracle_sql()`` pair every implemented operator with a DuckDB
-oracle at sf0.01 (row-count + schema + value-hash compare): all 33 queries
+oracle at sf0.01 (row-count + schema + value-hash compare): all 34 queries
 are hard-verified — the near-dup/ANN family via deterministic planted
 fixtures derived in-query, and the two stateful replays by materializing
 their deterministic change logs at fixed paths and SQL-replaying them in
@@ -695,6 +695,56 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ANN through the IVF index: top-10 for three queries in ONE
+    pruned scan (ivf_index_topk_many) — the realistic serving shape, where
+    per-query Spark jobs would pay the scheduling floor N times. Each query
+    vec (0,1,2) gets nine planted scaled clones under 1e6*(q+1)+i; spherical
+    assignment co-lists them with their query, so each per-query top-10 is
+    the clone family at cosine 1.0 — which is what the brute-force oracle
+    computes per query."""
+    from embulk_filter_expand_json_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_index_topk_many,
+    )
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2])).orderBy("vec_id").collect()
+    queries = [list(r["embedding"]) for r in qrows]
+    planted = None
+    for qi in range(3):
+        p = (
+            spark.range(1, 10)
+            .crossJoin(emb.filter(F.col("vec_id") == qi).select("embedding"))
+            .select(
+                (F.col("id") + 1_000_000 * (qi + 1)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: x * (F.lit(1.0) + F.col("id") / F.lit(10000.0)),
+                )
+                .cast("array<float>")
+                .alias("embedding"),
+            )
+        )
+        planted = p if planted is None else planted.unionByName(p)
+    un = emb.unionByName(planted)
+    work = tempfile.mkdtemp(prefix="ivf_batch_")
+    try:
+        path = os.path.join(work, "index")
+        build_ivf_index(un, dim=len(queries[0]), path=path, n_lists=16,
+                        max_sample=4000)
+        out = ivf_index_topk_many(
+            spark, path, queries, k=10, n_probes=4
+        ).select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "vec_id",
+            "cosine",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # detach
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min) over events: one shuffle on
     user_id; the per-session agg reuses that partitioning (single-Exchange
@@ -958,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": _knn_bruteforce,
         "knn_lsh": _knn_lsh,
         "knn_ivf": _knn_ivf,
+        "knn_ivf_batch": _knn_ivf_batch,
         "embedding_near_dups": _embedding_near_dups,
         "sessionize_events": _sessionize_events,
         "sessionize_chunked": _sessionize_chunked,
@@ -1048,6 +1099,29 @@ def oracle_sql() -> dict[str, str]:
         # lifecycles must recover the same brute-force top-10
         "knn_lsh": _KNN_PLANTED_ORACLE,
         "knn_ivf": _KNN_PLANTED_ORACLE,
+        "knn_ivf_batch": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ), uni AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+              UNION ALL
+              SELECT 1000000 * (j + 1) + i AS vec_id,
+                     list_transform(
+                       (SELECT embedding FROM embeddings WHERE vec_id = j),
+                       x -> CAST(x * (1.0 + i / 10000.0) AS FLOAT))::DOUBLE[]
+              FROM generate_series(1, 9) t(i), generate_series(0, 2) s(j)
+            ), ranked AS (
+              SELECT q.query_id, u.vec_id,
+                     round(list_cosine_similarity(u.emb, q.qv), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(u.emb, q.qv), 6)
+                                DESC, u.vec_id ASC) AS rn
+              FROM uni u, q
+            )
+            SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
+        """,
         "training_pipeline_docs": """
             WITH uni AS (
               SELECT doc_id, text FROM documents

@@ -173,3 +173,95 @@ def ivf_index_topk(
         F.col("list_id").isin(probes)
     )
     return cosine_topk(part, query, k, vec_col, id_col)
+
+
+def ivf_index_topk_many(
+    spark,
+    path: str,
+    queries: Sequence[Sequence[float]],
+    k: int = 10,
+    n_probes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch ANN: top-k for MANY queries in ONE job — the realistic shape
+    at scale (per-query jobs pay Spark's scheduling floor each; batch
+    scoring pays one pruned scan for the union of probed lists).
+
+    Per partition row batch: one numpy matmul against the query block,
+    masked so each row only scores queries that probed its list. The
+    per-query top-k is a (query_id, cosine) window over candidates only —
+    candidate cardinality is O(n_queries * n_probes * list_size), far
+    below the table. Returns (query_id, vec_id, cosine) with the same
+    rounding/tie rules as cosine_topk, so per-query results are identical
+    to calling ivf_index_topk per query.
+    """
+    from pyspark.sql import Window
+
+    qmat = np.asarray(queries, dtype=np.float32)
+    qnorm = _normalize(qmat)
+    probes = [
+        set(_probe_lists(path, q, n_probes)) for q in qmat
+    ]
+    all_lists = sorted(set().union(*probes))
+    # per-list boolean mask over queries: row in list L scores query j
+    # only if j probed L
+    mask_by_list = {
+        lid: np.array([lid in p for p in probes], dtype=bool)
+        for lid in all_lists
+    }
+    qn = np.linalg.norm(qmat.astype(np.float64), axis=1)
+
+    part = spark.read.parquet(os.path.join(path, "data")).filter(
+        F.col("list_id").isin([int(x) for x in all_lists])
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.IntegerType()),
+            T.StructField(id_col, part.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            dots = mat @ qmat.astype(np.float64).T  # (rows, n_queries)
+            denom = norms[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, 0.0)
+            lids = pdf["list_id"].to_numpy()
+            rows_id, rows_q, rows_c = [], [], []
+            for lid in np.unique(lids):
+                m = mask_by_list[int(lid)]
+                sel = lids == lid
+                ids = pdf[id_col].to_numpy()[sel]
+                sub = cos[sel][:, m]
+                qidx = np.nonzero(m)[0]
+                rows_id.append(np.repeat(ids, len(qidx)))
+                rows_q.append(np.tile(qidx, sel.sum()))
+                rows_c.append(sub.ravel())
+            if not rows_id:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(rows_q).astype(np.int32),
+                    id_col: np.concatenate(rows_id),
+                    "cosine": np.concatenate(rows_c),
+                }
+            )
+
+    cand = part.select(id_col, vec_col, "list_id").mapInPandas(fn, out_schema)
+    # round in Catalyst (HALF_UP) so per-query results match cosine_topk's
+    # rounding/tie rules exactly, not numpy's banker's rounding
+    cand = cand.withColumn("cosine", F.round("cosine", 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

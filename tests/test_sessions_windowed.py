@@ -216,6 +216,36 @@ def test_ivf_index_prunes_and_recalls(spark, tmp_path):
     assert set(ids) == {0, 1001, 1002, 1003, 1004}  # cosine-1.0 family
 
 
+def test_ivf_topk_many_matches_per_query(spark, tmp_path):
+    """Batch probing (one pruned scan for all queries) must return exactly
+    what per-query probing returns, query by query."""
+    from embulk_filter_expand_json_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_index_topk_many,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((300, 12)).astype("float32")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(300)]
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    path = str(tmp_path / "ivf_many")
+    build_ivf_index(df, dim=12, path=path, n_lists=8, max_sample=400)
+    queries = [[float(x) for x in base[i]] for i in (0, 7, 42)]
+    many = ivf_index_topk_many(spark, path, queries, k=5, n_probes=3)
+    got = {}
+    for r in many.collect():
+        got.setdefault(r["query_id"], set()).add((r["vec_id"], r["cosine"]))
+    assert set(got) == {0, 1, 2}
+    for qi, q in enumerate(queries):
+        single = {
+            (r["vec_id"], r["cosine"])
+            for r in ivf_index_topk(spark, path, q, k=5, n_probes=3).collect()
+        }
+        assert got[qi] == single
+
+
 def test_ivf_centroids_deterministic():
     from embulk_filter_expand_json_spark.operators.ivf import train_centroids
 
