@@ -314,8 +314,9 @@ SELECT user_id, event_id, event_type, value FROM (
 #: seed, so materializing it in-query and SQL-replaying it in the oracle is
 #: the same planted-fixture pattern as the near-dup queries)
 # 30-min-gap sessionization as pure SQL: lag -> boundary flag -> running
-# sum -> per-session rollup (integer epoch-micros throughout)
-_SESSIONIZE_ORACLE = """
+# sum. ONE definition of the gap rule; the batch, chunked, and streaming
+# sessionizers all verify against final SELECTs over this same CTE chain.
+_SESSIONIZE_CTE = """
     WITH lagged AS (
       SELECT user_id, event_id, epoch_us(ts) AS t_us,
              lag(epoch_us(ts)) OVER (
@@ -334,6 +335,9 @@ _SESSIONIZE_ORACLE = """
                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM marked
     )
+"""
+
+_SESSIONIZE_ORACLE = _SESSIONIZE_CTE + """
     SELECT user_id, session_seq, count(*) AS n_events,
            min(t_us) AS start_us, max(t_us) AS end_us,
            max(t_us) - min(t_us) AS duration_us
@@ -773,21 +777,28 @@ def _sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _feed_time_ordered_files(
-    spark: SparkSession, df: DataFrame, src: str, n_files: int
+    spark: SparkSession, df: DataFrame, src: str, n_files: int,
+    order_col: str = "event_id",
 ) -> None:
-    """Write df as n_files event-time-ordered parquet files (event_id
-    quantiles; the generator's event_id is ts-ordered) — the arrival-order
-    contract the stateful operators document."""
+    """Write df as n_files event-time-ordered parquet files (order_col
+    range slices; the generator's event_id is ts-ordered) — the
+    arrival-order contract the stateful operators document. Slicing uses
+    the ACTUAL [min, max] of order_col (half-open ranges covering it
+    completely), so sparse/non-zero-based ids lose no rows."""
     import glob as _glob
 
     os.makedirs(src, exist_ok=True)
-    n = df.count()
+    lo, hi = df.agg(
+        F.min(order_col), F.max(order_col)
+    ).first()
+    span = int(hi) - int(lo) + 1
     for i in range(n_files):
+        start = int(lo) + i * span // n_files
+        stop = int(lo) + (i + 1) * span // n_files
         stage = os.path.join(src, f"_stage{i}")
         (
             df.filter(
-                (F.col("event_id") >= i * n // n_files)
-                & (F.col("event_id") < (i + 1) * n // n_files)
+                (F.col(order_col) >= start) & (F.col(order_col) < stop)
             )
             .coalesce(1)
             .write.mode("overwrite")
@@ -1187,25 +1198,7 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events
             FROM events GROUP BY 1, 2
         """,
-        "streaming_sessionize": """
-            WITH lagged AS (
-              SELECT user_id, event_id, epoch_us(ts) AS t_us,
-                     lag(epoch_us(ts)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-              FROM events
-            ), marked AS (
-              SELECT user_id, event_id, t_us,
-                     CASE WHEN prev_us IS NULL
-                               OR t_us - prev_us > 1800000000
-                          THEN 1 ELSE 0 END AS is_new
-              FROM lagged
-            ), sess AS (
-              SELECT user_id, t_us,
-                     sum(is_new) OVER (
-                       PARTITION BY user_id ORDER BY t_us, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_seq
-              FROM marked
-            )
+        "streaming_sessionize": _SESSIONIZE_CTE + """
             SELECT user_id, min(t_us) AS start_us, max(t_us) AS last_us,
                    count(*) AS n_events
             FROM sess GROUP BY user_id, session_seq

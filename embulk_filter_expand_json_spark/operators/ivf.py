@@ -192,16 +192,16 @@ def ivf_index_topk_many(
     masked so each row only scores queries that probed its list. The
     per-query top-k is a (query_id, cosine) window over candidates only —
     candidate cardinality is O(n_queries * n_probes * list_size), far
-    below the table. Returns (query_id, vec_id, cosine) with the same
-    rounding/tie rules as cosine_topk, so per-query results are identical
-    to calling ivf_index_topk per query.
+    below the table. Scoring keeps queries in float64 (truncating to
+    float32 measurably flips rounded cosines) and rounds/ties exactly like
+    cosine_topk, so per-query results match ivf_index_topk up to float
+    summation order under the 1e-6 rounding grid.
     """
     from pyspark.sql import Window
 
-    qmat = np.asarray(queries, dtype=np.float32)
-    qnorm = _normalize(qmat)
+    qmat = np.asarray(queries, dtype=np.float64)
     probes = [
-        set(_probe_lists(path, q, n_probes)) for q in qmat
+        set(_probe_lists(path, q, n_probes)) for q in queries
     ]
     all_lists = sorted(set().union(*probes))
     # per-list boolean mask over queries: row in list L scores query j
@@ -210,7 +210,7 @@ def ivf_index_topk_many(
         lid: np.array([lid in p for p in probes], dtype=bool)
         for lid in all_lists
     }
-    qn = np.linalg.norm(qmat.astype(np.float64), axis=1)
+    qn = np.linalg.norm(qmat, axis=1)
 
     part = spark.read.parquet(os.path.join(path, "data")).filter(
         F.col("list_id").isin([int(x) for x in all_lists])
@@ -226,9 +226,11 @@ def ivf_index_topk_many(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:
+                continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1)
-            dots = mat @ qmat.astype(np.float64).T  # (rows, n_queries)
+            dots = mat @ qmat.T  # (rows, n_queries)
             denom = norms[:, None] * qn[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom > 0, dots / denom, 0.0)

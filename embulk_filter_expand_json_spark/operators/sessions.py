@@ -28,17 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-
-def _epoch_us(df: DataFrame, ts_col: str):
-    """Epoch-micros of a timestamp column, timezone-independent.
-
-    TIMESTAMP_NTZ carries a wall clock with no zone: pin it to UTC
-    (to_utc_timestamp with a literal zone ignores the session timezone),
-    matching DuckDB's epoch_us(TIMESTAMP) semantics exactly. Plain
-    TIMESTAMP is already an instant."""
-    if df.schema[ts_col].dataType.typeName() == "timestamp_ntz":
-        return F.unix_micros(F.to_utc_timestamp(F.col(ts_col), "UTC"))
-    return F.unix_micros(F.col(ts_col))
+from ..functions.timeutil import wall_epoch_us as _epoch_us
 
 
 def sessionize(
@@ -60,9 +50,7 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     prev_us = F.lag(ts_us).over(w)
     is_new = (prev_us.isNull() | (ts_us - prev_us > gap_us)).cast("long")
-    run = Window.partitionBy(user_col).orderBy(ts_col, order_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return events.withColumn("session_seq", F.sum(is_new).over(run))
 
 

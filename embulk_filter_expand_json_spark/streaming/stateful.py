@@ -93,6 +93,10 @@ def transitions_stateful(
         F.unix_micros(_event_time(stream, ts_col)).alias("__evt_us"),
         F.col(order_col).cast("long").alias("__order"),
         F.col(type_col).alias("__etype"),
+    ).filter(
+        # a NULL event time has no position in the per-user order — drop it
+        # here (NaN would poison the pandas sort and the state update)
+        F.col("__evt_us").isNotNull() & F.col("__order").isNotNull()
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         _emit_transitions,

@@ -29,13 +29,9 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-def _event_time(events: DataFrame, ts_col: str):
-    """Watermarks require a TIMESTAMP (an instant). TIMESTAMP_NTZ wall
-    clocks are pinned to UTC with a LITERAL zone (session-tz-independent),
-    so window boundaries are a pure function of the stored wall clock."""
-    if events.schema[ts_col].dataType.typeName() == "timestamp_ntz":
-        return F.to_utc_timestamp(F.col(ts_col), "UTC")
-    return F.col(ts_col)
+from ..functions.timeutil import utc_instant as _event_time
+# (watermarks require a TIMESTAMP instant; see timeutil for why the naive
+# to_utc_timestamp pinning is session-timezone-DEPENDENT and wrong)
 
 
 def windowed_counts(

@@ -34,6 +34,16 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # mirror bench.py's environment so the records are comparable:
+        # ParallelGC (G1 contends at 32 allocation-heavy threads) and
+        # tmpfs shuffle scratch
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-bench"
+            if os.path.isdir("/dev/shm")
+            else "/tmp/spark-bench",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")

@@ -80,6 +80,30 @@ def test_session_stats_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_epoch_extraction_ignores_session_timezone(spark):
+    """NTZ wall-clock -> epoch-micros must not move with
+    spark.sql.session.timeZone (the naive to_utc_timestamp pinning DOES
+    move — +5h under America/New_York; see functions/timeutil.py)."""
+    from embulk_filter_expand_json_spark.streaming.windowed import (
+        window_start_us,
+        windowed_counts,
+    )
+
+    ev = _mk_events(spark, [("2024-01-01 00:10:00", 1, "a")])
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        results = {}
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            s = session_stats(ev).first()
+            w = window_start_us(windowed_counts(ev)).first()
+            results[tz] = (s["start_us"], w["window_start_us"])
+        assert len(set(results.values())) == 1, results
+        assert results["UTC"] == (1_704_067_800_000_000, 1_704_067_200_000_000)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_chunked_sessionizer_stitches_chains(spark):
     """A session spanning THREE chunk boundaries (events every 20 min
     across 4 hours with 1h chunks) must stitch into one session; the
@@ -257,24 +281,11 @@ def test_ivf_centroids_deterministic():
 
 
 def _feed_files(spark, df, d, n_files, order_col="event_id"):
-    """Write df as n_files time-ordered parquet files under d (file k holds
-    the k-th quantile of order_col, matching arrival order)."""
-    os.makedirs(d, exist_ok=True)
-    n = df.count()
-    for i in range(n_files):
-        stage = os.path.join(d, f"_stage{i}")
-        (
-            df.filter(
-                (F.col(order_col) >= i * n // n_files)
-                & (F.col(order_col) < (i + 1) * n // n_files)
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        shutil.copy(part, os.path.join(d, f"{i:02d}.parquet"))
-        shutil.rmtree(stage)
+    """Time-ordered file feed — the driver contract's writer IS the
+    implementation under test, so tests reuse it rather than fork it."""
+    import __spark_entry__ as S
+
+    S._feed_time_ordered_files(spark, df, d, n_files, order_col=order_col)
 
 
 def test_windowed_counts_stream_equals_batch(spark, tmp_path):
