@@ -2,7 +2,7 @@
 
 ``entry(spark)`` smoke-runs the flagship expansion on sf0.001;
 ``queries()``/``oracle_sql()`` pair every implemented operator with a DuckDB
-oracle at sf0.01 (row-count + schema + value-hash compare): all 34 queries
+oracle at sf0.01 (row-count + schema + value-hash compare): all 36 queries
 are hard-verified — the near-dup/ANN family via deterministic planted
 fixtures derived in-query, and the two stateful replays by materializing
 their deterministic change logs at fixed paths and SQL-replaying them in
@@ -629,6 +629,42 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split of documents: per-doc assignment
+    (not just counts) so the oracle verifies every single label. md5-based,
+    so DuckDB reproduces the exact bucket arithmetic."""
+    from embulk_filter_expand_json_spark.operators.split import hash_split
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    return hash_split(docs, id_col="doc_id").select("doc_id", "split")
+
+
+def _token_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-count quantiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation on the sorted set) —
+    the corpus-profiling aggregate a curation pipeline reports."""
+    from embulk_filter_expand_json_spark.functions.text import (
+        lang_id,
+        whitespace_token_count,
+    )
+
+    t = _documents(spark, sf_dir).select(
+        lang_id(F.col("text")).alias("lang_pred"),
+        whitespace_token_count(F.col("text")).cast("double").alias("n"),
+    )
+    q = t.groupBy("lang_pred").agg(
+        F.expr("percentile(n, array(0.25, 0.5, 0.9))").alias("q"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return q.select(
+        "lang_pred",
+        F.round(F.col("q")[0], 6).alias("q25"),
+        F.round(F.col("q")[1], 6).alias("q50"),
+        F.round(F.col("q")[2], 6).alias("q90"),
+        "cnt",
+    )
+
+
 def _training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pass — the operators composed the way a real
     training-data pipeline chains them: quality gate -> exact dedup (min-id
@@ -1024,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "sessionize_chunked": _sessionize_chunked,
         "training_pipeline_docs": _training_pipeline_docs,
+        "hash_split_docs": _hash_split_docs,
+        "token_quantiles_by_lang": _token_quantiles_by_lang,
         "streaming_windowed_agg": _streaming_windowed_agg,
         "streaming_sessionize": _streaming_sessionize,
         "stateful_transitions": _stateful_transitions,
@@ -1191,6 +1229,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the chunked (skew-resistant) sessionizer must be output-identical
         # to the plain one, so both run against the SAME oracle
+        "hash_split_docs": """
+            SELECT doc_id,
+                   CASE WHEN b < 800000 THEN 'train'
+                        WHEN b < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(('0x' || substring(
+                        md5('split42:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+                        AS BIGINT) % 1000000 AS b
+              FROM documents
+            )
+        """,
+        "token_quantiles_by_lang": """
+            WITH w AS (
+              SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS words,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END::DOUBLE AS n
+              FROM documents
+            ), h AS (
+              SELECT n,
+                len(list_filter(words, x -> x IN ('the','and','of','to','in'))) AS h_en,
+                len(list_filter(words, x -> x IN ('der','die','und','nicht','das'))) AS h_de,
+                len(list_filter(words, x -> x IN ('le','la','et','les','des'))) AS h_fr,
+                len(list_filter(words, x -> x IN ('el','la','que','de','los'))) AS h_es
+              FROM w
+            ), l AS (
+              SELECT n,
+                     CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                          WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                          WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                          WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                          ELSE 'de' END AS lang_pred
+              FROM h
+            )
+            SELECT lang_pred,
+                   round(quantile_cont(n, 0.25), 6) AS q25,
+                   round(quantile_cont(n, 0.50), 6) AS q50,
+                   round(quantile_cont(n, 0.90), 6) AS q90,
+                   count(*) AS cnt
+            FROM l GROUP BY lang_pred
+        """,
         "sessionize_events": _SESSIONIZE_ORACLE,
         "sessionize_chunked": _SESSIONIZE_ORACLE,
         "streaming_windowed_agg": """

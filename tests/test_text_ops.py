@@ -220,3 +220,36 @@ def test_lsh_index_lifecycle(spark, emb_df, tmp_path):
         (r["vec_id"], r["cosine"]) for r in fly
     ]
     assert got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0
+
+
+def test_hash_split_deterministic_stable_proportioned(spark):
+    from pyspark.sql import functions as F
+
+    from embulk_filter_expand_json_spark.operators.split import hash_split
+
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    out = hash_split(df)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    # zero shuffle: pure projection
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # stability under appends: the first 1000 ids keep their labels when
+    # the table is 20x larger
+    small = {r["doc_id"]: r["split"] for r in
+             hash_split(spark.range(1000).select(F.col("id").alias("doc_id"))).collect()}
+    big = {r["doc_id"]: r["split"] for r in
+           out.filter(F.col("doc_id") < 1000).collect()}
+    assert small == big
+    # different salt -> different assignment (not degenerate)
+    other = {r["doc_id"]: r["split"] for r in
+             hash_split(df.filter(F.col("doc_id") < 1000), salt="other").collect()}
+    assert other != small
+    # custom weights normalize and cover everything
+    w = hash_split(df, weights={"a": 2, "b": 2}, salt="s2")
+    cw = {r["split"]: r["n"] for r in
+          w.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(cw) == {"a", "b"} and sum(cw.values()) == 20_000
