@@ -244,3 +244,20 @@ def test_pipeline_inline_gc_bounds_manifests_and_files(spark, tmp_path):
     want = replay(events, extra_keys=("lang",))
     got = {r["doc_id"]: r["n_tok"] for r in t.read().collect()}
     assert got == {k: v["n_tok"] for k, v in want.items()}
+
+
+def test_snaptable_read_pushes_key_filter_to_scan(spark, tmp_path):
+    """A key predicate on SnapTable.read() must reach the parquet scans as
+    PushedFilters — at 100 TB a point lookup rides parquet row-group stats
+    instead of scanning every base file's rows."""
+    t = make_table(spark, tmp_path / "t", buckets=4)
+    rows = [(f"doc-{i:04d}", [i], 1, "s", False) for i in range(200)]
+    t.merge(delta(spark, rows), epoch=0, delete_col="is_del")
+    from pyspark.sql import functions as F
+
+    df = t.read().filter(F.col("doc_id") == "doc-0042")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "doc_id" in pushed, plan
+    assert [r["tokens"] for r in df.collect()] == [[42]]
