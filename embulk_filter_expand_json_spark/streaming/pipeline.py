@@ -88,6 +88,8 @@ class CdcPipeline:
         max_delta_files_per_bucket: int = 8,
         min_mor_base_bytes: int = 64 * 1024 * 1024,
         gc_keep_snapshots: Optional[int] = None,
+        changelog: bool = False,
+        changelog_keep: int = 64,
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -122,6 +124,11 @@ class CdcPipeline:
                     "mor_rewrite_ratio": mor_rewrite_ratio,
                     "max_delta_files_per_bucket": max_delta_files_per_bucket,
                     "min_mor_base_bytes": min_mor_base_bytes,
+                    # change data feed: record per-commit change files so
+                    # downstream pipelines can tail this table as a binlog
+                    # (SnapTable.read_changes) instead of diffing snapshots
+                    "changelog": changelog,
+                    "changelog_keep": changelog_keep,
                 },
             )
 

@@ -93,7 +93,10 @@ class SnapTable:
 
     def _publish(self, man: dict) -> int:
         """Atomic-rename commit of the next manifest version."""
+        import time as _time
+
         os.makedirs(self.log_dir, exist_ok=True)
+        man["committed_at"] = _time.time()
         version = man["version"]
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(self.log_dir, f"v{version:08d}.json")
@@ -131,15 +134,26 @@ class SnapTable:
             raise CommitConflict(f"table already exists at {self.path}")
         if key not in schema.fieldNames():
             raise ValueError(f"key {key!r} not in schema")
+        # changelog from birth: the feed is complete from version 0 (there
+        # are no pre-enablement merges a consumer could miss). Enabling it
+        # later via properties instead starts validity at that point
+        # (merge() setdefaults changes_valid_from to the prior version).
+        changelog_init = (
+            {"changes": [], "changes_valid_from": 0}
+            if (properties or {}).get("changelog")
+            else {}
+        )
         self._publish(
             {
                 "version": 1,
+                **changelog_init,
                 "schema": schema.jsonValue(),
                 "key": key,
                 "num_buckets": num_buckets,
                 "files": [],
                 "last_committed_epoch": -1,
                 "properties": properties or {},
+                "summary": {"op": "create"},
             }
         )
 
@@ -156,12 +170,52 @@ class SnapTable:
             schema = schema.add(T.StructField(f.name, f.dataType, True))
         man["schema"] = schema.jsonValue()
         man["version"] += 1
+        man["summary"] = {
+            "op": "evolve-add-columns",
+            "added": [f.name for f in added],
+        }
         self._publish(man)
         return True
 
     # ----------------------------------------------------------------- read
-    def read(self, version: Optional[int] = None) -> DataFrame:
+    def version_as_of(self, ts: float) -> int:
+        """Largest retained snapshot version committed at or before ``ts``
+        (epoch seconds) — Iceberg's timestamp time travel resolution."""
+        best = None
+        for v in self._versions():
+            man = self.manifest(v)
+            at = man.get("committed_at")
+            if at is not None and at <= ts:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no retained snapshot committed at or before ts={ts}"
+            )
+        return best
+
+    def history(self) -> List[dict]:
+        """Commit log of retained snapshots, oldest first — the DESCRIBE
+        HISTORY analog: version, wall-clock commit time, operation summary
+        (merge epochs carry touched/deferred/rewritten counts)."""
+        out = []
+        for v in self._versions():
+            man = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "committed_at": man.get("committed_at"),
+                    "last_committed_epoch": man.get("last_committed_epoch"),
+                    "summary": man.get("summary", {}),
+                }
+            )
+        return out
+
+    def read(
+        self, version: Optional[int] = None, as_of_ts: Optional[float] = None
+    ) -> DataFrame:
         """Current state, or time-travel to any retained snapshot version
+        (``version=``) or wall-clock instant (``as_of_ts=`` epoch seconds,
+        resolved to the newest snapshot committed at or before it)
         (every manifest is immutable; old data files are never deleted
         except by expire_snapshots-style GC, not implemented here).
 
@@ -175,6 +229,10 @@ class SnapTable:
         the trickle regime; read amplification stays bounded because
         merge() force-compacts any bucket whose stack exceeds
         ``max_delta_files_per_bucket``."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version= or as_of_ts=, not both")
+            version = self.version_as_of(as_of_ts)
         man = self.manifest(version)
         schema = T.StructType.fromJson(man["schema"])
         return self._state_df(man, schema)
@@ -296,6 +354,84 @@ class SnapTable:
         if not clean_base:
             return merged
         return self._read_files(clean_base, schema).unionByName(merged)
+
+    def read_changes(
+        self, since_version: int, to_version: Optional[int] = None
+    ) -> DataFrame:
+        """Change data feed: every row-level change committed AFTER snapshot
+        ``since_version`` up to ``to_version`` (latest when None) — the
+        Delta Lake CDF / Iceberg changelog-scan analog, which lets a
+        downstream pipeline tail THIS table as its own binlog instead of
+        re-reading snapshots and diffing.
+
+        Returns the table schema plus three metadata columns:
+        ``_change_type`` ('upsert' | 'delete'), ``_commit_version`` and
+        ``_commit_epoch``. Rows are the per-commit LWW winners (after-image
+        per key, one row per key per commit; deletes carry the key with the
+        payload the writer provided).
+
+        Scale: a pure union of the commit-scoped change files the MERGE
+        already wrote — no shuffle, no snapshot diff, cost proportional to
+        the changes read (never to table size). Requires table property
+        ``changelog=true``; the manifest retains the last
+        ``changelog_keep`` (default 64) commit entries, so consumers must
+        tail at least that often or restart from a full snapshot read —
+        exactly Delta's CDF retention contract. Raises ValueError when
+        ``since_version`` predates the retained window."""
+        man = self.manifest(to_version)
+        if "changes" not in man:
+            raise ValueError(
+                "change feed not enabled: create the table with "
+                "properties={'changelog': True} (or set it before the first "
+                "merge) to record per-commit change files"
+            )
+        valid_from = man.get("changes_valid_from", 0)
+        if since_version < valid_from:
+            raise ValueError(
+                f"change feed incomplete before version {valid_from} "
+                f"(requested since_version={since_version}): entries were "
+                "trimmed past changelog_keep or the feed was enabled later — "
+                "restart this consumer from a full snapshot read"
+            )
+        schema = T.StructType.fromJson(man["schema"])
+        meta_fields = [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_version", T.LongType(), False),
+            T.StructField("_commit_epoch", T.LongType(), False),
+        ]
+        frames = []
+        for entry in man["changes"]:
+            if entry["version"] <= since_version:
+                continue
+            for is_del, ctype in ((False, "upsert"), (True, "delete")):
+                fs = [f for f in entry["files"] if bool(f["delete"]) == is_del]
+                if not fs:
+                    continue
+                frames.append(
+                    self._read_files(fs, schema)
+                    .withColumn("_change_type", F.lit(ctype))
+                    .withColumn(
+                        "_commit_version", F.lit(entry["version"]).cast("long")
+                    )
+                    .withColumn(
+                        "_commit_epoch", F.lit(entry["epoch"]).cast("long")
+                    )
+                )
+        if not frames:
+            empty = T.StructType(list(schema.fields) + meta_fields)
+            return self.spark.createDataFrame([], empty)
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    def _referenced_paths(self, man: dict) -> set:
+        """Data-file paths a manifest keeps alive: the snapshot's base/delta
+        files AND its retained change-feed entries' files."""
+        paths = {f["path"] for f in man["files"]}
+        for entry in man.get("changes", []):
+            paths.update(f["path"] for f in entry["files"])
+        return paths
 
     def _read_files(self, files: List[dict], schema: T.StructType) -> DataFrame:
         paths = [os.path.join(self.path, f["path"]) for f in files]
@@ -615,13 +751,58 @@ class SnapTable:
         man["version"] += 1
         if extra_properties:
             man["properties"].update(extra_properties)
+
+        # ---- change data feed (Delta CDF / Iceberg changelog analog).
+        # The staged files ARE the commit's row-level change set — the
+        # LWW-deduped upserts and deletes of this epoch, one row per key —
+        # so enabling the feed costs ZERO extra writes: the manifest just
+        # keeps referencing them after the commit (even when the rewrite
+        # path consumed them into new base files). Downstream incremental
+        # consumers tail the table with read_changes(since_version) — a
+        # pure file union, no shuffle, no diffing of snapshots.
+        change_files: List[dict] = []
+        if props.get("changelog"):
+            man.setdefault("changes", [])
+            # feed is complete for since_version >= the version BEFORE the
+            # first recorded entry (new_seq - 1 at first enablement)
+            man.setdefault("changes_valid_from", new_seq - 1)
+            for b in affected:
+                for is_del, fs in ((False, staged[b][False]), (True, staged[b][True])):
+                    change_files.extend(
+                        {"path": rel, "bucket": b, "bytes": sz, "delete": is_del}
+                        for rel, sz in fs
+                    )
+            man["changes"].append(
+                {"version": new_seq, "epoch": epoch, "files": change_files}
+            )
+            keep_n = int(props.get("changelog_keep", 64))
+            if len(man["changes"]) > keep_n:
+                trimmed = man["changes"][:-keep_n]
+                man["changes"] = man["changes"][-keep_n:]
+                # trimmed entries' files stay on disk until GC decides —
+                # older manifests may still reference them as base/delta
+                man["changes_valid_from"] = max(
+                    man.get("changes_valid_from", 0),
+                    man["changes"][0]["version"] - 1,
+                )
+                del trimmed
+
+        man["summary"] = {
+            "op": "merge",
+            "epoch": epoch,
+            "buckets_touched": len(affected),
+            "buckets_deferred": len(deferred_buckets),
+            "files_rewritten": files_rewritten,
+        }
         version = self._publish(man)
         # self-cleanup: staged files CONSUMED by the rewrite (not registered
         # in the manifest) are dead the moment the commit publishes — delete
         # them here instead of leaving every rewrite epoch's stage dir as
         # orphans for a later sweep. Crash before this point leaves them for
         # remove_orphans; crash before publish leaves the whole attempt.
+        # Change-feed entries keep their files referenced (and alive).
         registered = {f["path"] for f in new_files}
+        registered.update(f["path"] for f in change_files)
         for groups_by_flag in staged.values():
             for fs in groups_by_flag.values():
                 for rel, _sz in fs:
@@ -683,6 +864,11 @@ class SnapTable:
         old_count = len(man["files"])
         man["files"] = new_files
         man["version"] += 1
+        man["summary"] = {
+            "op": "compact",
+            "files_before": old_count,
+            "files_after": len(new_files),
+        }
         self._publish(man)
         return {
             "compacted": True,
@@ -706,17 +892,17 @@ class SnapTable:
             return {"expired_versions": [], "files_removed": 0}
         keep_paths = set()
         for v in retained:
-            keep_paths.update(f["path"] for f in self.manifest(v)["files"])
+            keep_paths.update(self._referenced_paths(self.manifest(v)))
         removed = 0
         for v in expired:
-            for f in self.manifest(v)["files"]:
-                if f["path"] in keep_paths:
+            for p in self._referenced_paths(self.manifest(v)):
+                if p in keep_paths:
                     continue
-                full = os.path.join(self.path, f["path"])
+                full = os.path.join(self.path, p)
                 if os.path.isfile(full):
                     os.unlink(full)
                     removed += 1
-                keep_paths.add(f["path"])  # shared across expired versions
+                keep_paths.add(p)  # shared across expired versions
         for v in expired:
             os.unlink(os.path.join(self.log_dir, f"v{v:08d}.json"))
         self._prune_empty_dirs()
@@ -734,7 +920,7 @@ class SnapTable:
 
         referenced = set()
         for v in self._versions():
-            referenced.update(f["path"] for f in self.manifest(v)["files"])
+            referenced.update(self._referenced_paths(self.manifest(v)))
         cutoff = _time.time() - older_than_sec
         removed = 0
         for root, _dirs, names in os.walk(self.data_dir):
