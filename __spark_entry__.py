@@ -436,6 +436,96 @@ def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_CDF_ORACLE_LOG = "/tmp/spark_graft_oracle/cdf_log"
+
+
+def _changefeed_oracle_sql(log_path: str) -> str:
+    """SQL mirror of the change data feed: per-(epoch, doc) LWW winners of
+    the VALID change rows — same invalid-drop and doc_id filter as
+    _replay_oracle_sql, but partitioned by (epoch, doc_id) instead of doc_id
+    (the feed is the per-commit after-image, deletes included rather than
+    suppressed)."""
+    return f"""
+        WITH log AS (
+          SELECT * FROM read_parquet('{log_path}/epoch=*/*.parquet',
+                                     hive_partitioning=1)
+        ), valid AS (
+          SELECT log_offset, CAST(epoch AS BIGINT) AS epoch, op,
+                 json_extract_string(payload, '$.doc_id') AS doc_id,
+                 CAST(json_extract_string(payload, '$.n_tok') AS INT) AS n_tok,
+                 json_extract_string(payload, '$.source') AS source,
+                 json_extract_string(payload, '$.lang') AS lang
+          FROM log
+          WHERE json_valid(payload)
+            AND (json_type(payload, '$.tokens') IS DISTINCT FROM 'VARCHAR'
+                 OR json_valid(json_extract_string(payload, '$.tokens')))
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY epoch, doc_id ORDER BY log_offset DESC) AS rn
+          FROM valid WHERE doc_id IS NOT NULL
+        )
+        SELECT epoch AS _commit_epoch, doc_id,
+               CASE WHEN op = 'D' THEN 'delete' ELSE 'upsert' END
+                 AS _change_type,
+               n_tok, source, lang
+        FROM ranked WHERE rn = 1
+    """
+
+
+def _cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed lifecycle, hard-verified: same deterministic replay
+    as cdc_replay_state but with the changelog property on; the result is
+    SnapTable.read_changes(0) — every per-commit LWW after-image (deletes
+    included) — and the DuckDB oracle recomputes the same feed straight from
+    the materialized log (per-(epoch, doc) winners). This pins that the
+    retained change files survive the CoW/MoR rewrite machinery byte-true
+    across the whole replay, including the mid-stream schema evolution that
+    adds the 'lang' column."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="cdf_entry_")
+    shutil.rmtree(_CDF_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+        )
+        write_changes(spark, cfg, _CDF_ORACLE_LOG)
+        pipe = CdcPipeline(
+            spark,
+            _CDF_ORACLE_LOG,
+            os.path.join(work, "table"),
+            num_buckets=8,
+            changelog=True,
+        )
+        pipe.run()
+        feed = pipe.table.read_changes(0)
+        lang = (
+            F.col("lang")
+            if "lang" in feed.columns
+            else F.lit(None).cast("string")
+        )
+        out = feed.select(
+            "_commit_epoch",
+            "doc_id",
+            "_change_type",
+            "n_tok",
+            "source",
+            lang.alias("lang"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (SURVEY.md §2.2 + task brief)
 # ---------------------------------------------------------------------------
@@ -1043,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_dedup_salted": _lww_salted,
         "lww_dedup_keyjoin": _lww_keyjoin,
         "cdc_replay_state": _cdc_replay_state,
+        "cdc_changefeed": _cdc_changefeed,
         "streaming_replay_state": _streaming_replay_state,
         "doc_fingerprint": _doc_fingerprint,
         "token_stats": _token_stats,
@@ -1129,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "cdc_replay_state": _replay_oracle_sql(_CDC_ORACLE_LOG),
+        "cdc_changefeed": _changefeed_oracle_sql(_CDF_ORACLE_LOG),
         "streaming_replay_state": _replay_oracle_sql(_STREAM_ORACLE_LOG),
         "expand_lineitem_json": """
             SELECT l_suppkey, l_orderkey AS ok,
