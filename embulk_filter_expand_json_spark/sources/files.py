@@ -125,3 +125,58 @@ def read_raw_lines(
     """The reference bench's `parser: type: none` (one string column per
     line, bench/config_raw.yml:4-6)."""
     return spark.read.text(path).withColumnRenamed("value", column_name)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[Mapping],
+    default_timezone: str = "UTC",
+    default_date: str = "1970-01-01",
+    stop_on_invalid_record: bool = False,
+    keep_document_column: Optional[str] = None,
+) -> DataFrame:
+    """Embulk-jsonl-parser-style read: newline-delimited JSON objects with a
+    declared ``columns`` list (``{name, type, format?, timezone?}``) — the
+    natural wire format of a binlog/WAL tail.
+
+    Built BY COMPOSITION: the source is `spark.read.text` plus the engine's
+    own expansion operator over root='$', so the JSONL column extraction and
+    casting are literally the same code (and the same physical plan: one
+    json_tuple parse under whole-stage codegen) as the expansion filter —
+    no second cast layer to drift. Invalid lines follow the operator's
+    invalid-record channel: dropped, or abort-on-first when
+    ``stop_on_invalid_record``. ``keep_document_column`` retains the raw
+    line under that name (keep_expanding_json_column parity)."""
+    from embulk_filter_expand_json_spark.operators.expand import expand_json
+    from embulk_filter_expand_json_spark.plans.expand_plan import (
+        ExpandConfig,
+        ExpandedColumn,
+    )
+
+    names = [c["name"] for c in columns]
+    if len(set(names)) != len(names):
+        raise ConfigException("duplicate column names in jsonl columns")
+    doc_col = keep_document_column or "__jsonl_doc"
+    raw = read_raw_lines(spark, path, doc_col)
+    cfg = ExpandConfig(
+        json_column_name=doc_col,
+        expanded_columns=tuple(
+            ExpandedColumn(
+                name=c["name"],
+                type=c.get("type", "string"),
+                format=c.get("format"),
+                timezone=c.get("timezone"),
+            )
+            for c in columns
+        ),
+        default_timezone=default_timezone,
+        default_date=default_date,
+        stop_on_invalid_record=stop_on_invalid_record,
+        keep_expanding_json_column=keep_document_column is not None,
+        # a malformed line is an invalid record of the SOURCE, not a broken
+        # document inside an otherwise-valid record — route it to the
+        # invalid-record channel (drop / abort-on-first), never hard-abort
+        malformed_json_policy="invalid_record",
+    )
+    return expand_json(raw, cfg, mode="auto")

@@ -277,3 +277,70 @@ def test_expand_json_runs_on_streaming_frames(spark, tmp_path, mode):
     got = spark.table(f"exp_stream_{mode}").orderBy("event_id").toPandas()
     want = expand_json(ev, cfg, mode=mode).orderBy("event_id").toPandas()
     assert got.equals(want) and len(got) == 1000
+
+
+# ------------------------------------------------------------------- jsonl
+
+def test_read_jsonl_types_and_invalid_drop(spark, tmp_path):
+    from embulk_filter_expand_json_spark.sources.files import read_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "score": 1.5, "ok": true}\n'
+        'THIS IS NOT JSON\n'
+        '{"id": 2, "name": "b", "score": "2.25", "ok": "false"}\n'
+        '{"id": 3, "name": null}\n'
+    )
+    df = read_jsonl(
+        spark,
+        str(p),
+        columns=[
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "ok", "type": "boolean"},
+        ],
+    )
+    assert df.columns == ["id", "name", "score", "ok"]
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    # the malformed line took the invalid-record channel (dropped); missing
+    # keys are NULL; lenient string->double/boolean casts match the
+    # expansion operator's semantics (same code path)
+    assert [(r["id"], r["name"], r["score"], r["ok"]) for r in rows] == [
+        (1, "a", 1.5, True),
+        (2, "b", 2.25, False),
+        (3, None, None, None),
+    ]
+
+
+def test_read_jsonl_stop_on_invalid_and_keep_doc(spark, tmp_path):
+    from embulk_filter_expand_json_spark.sources.files import read_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1}\nbroken\n')
+    with pytest.raises(Exception, match="[Ii]nvalid"):
+        read_jsonl(
+            spark,
+            str(p),
+            columns=[{"name": "id", "type": "long"}],
+            stop_on_invalid_record=True,
+        ).collect()
+
+    good = tmp_path / "good.jsonl"
+    good.write_text('{"id": 7, "ts": "2015-01-27 19:23:49 +0900"}\n')
+    df = read_jsonl(
+        spark,
+        str(good),
+        columns=[
+            {"name": "id", "type": "long"},
+            {
+                "name": "ts",
+                "type": "timestamp",
+                "format": "%Y-%m-%d %H:%M:%S %z",
+            },
+        ],
+        keep_document_column="raw",
+    )
+    r = df.collect()[0]
+    assert r["id"] == 7 and r["raw"].startswith('{"id": 7')
+    assert r["ts"] == datetime.datetime(2015, 1, 27, 10, 23, 49)
