@@ -1,0 +1,217 @@
+"""Incremental aggregate view — a grouped-aggregate table maintained from a
+SnapTable's change data feed instead of full-table reaggregation.
+
+The 100 TB motivation: a per-group rollup (docs per source, token totals per
+language, ...) over a 10^10-row table costs a full scan + shuffle every time
+it is rebuilt, even when an epoch touched 0.01% of rows. With the change
+feed, the exact same result is maintained by:
+
+1. reading the feed window (cost ~ changes, never ~ table),
+2. point-reading the PRE-image of just the changed keys from the snapshot
+   the view was last synced to (bucket-pruned by the key filter SnapTable
+   pushes to the parquet scans),
+3. point-reading the AFTER-image of those keys from the current snapshot,
+4. applying ``new_agg - old_agg`` per group to the view.
+
+Intermediate versions inside the window cancel out: a doc upserted five
+times between syncs contributes (after - before) exactly once, so the view
+is EXACT (not approximate, not eventually-consistent) — pinned by parity
+tests against a from-scratch GROUP BY at every sync point.
+
+Supported aggregates are the decomposable ones (count / sum and whatever is
+expressible as sums, e.g. mean = sum/count at read time); min/max are NOT
+maintainable from deltas without a re-scan of the shrinking group and are
+deliberately out of scope.
+
+The view itself is a SnapTable keyed by the group column, so syncs inherit
+the engine's exactly-once commit protocol: the view manifest records the
+source snapshot version it reflects (``view_synced_version`` property), and
+a replayed sync is a no-op.
+
+Reference note: the reference (embulk-filter-expand_json) has no table or
+view lifecycle; this belongs to the engine layer the north_rule adds, and
+mirrors what Materialize/Flink call incremental view maintenance, expressed
+on Spark + the snapshot log.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
+
+
+class IncrementalAggView:
+    """count(*) + sum(metric...) per ``group_col`` over a changelog-enabled
+    SnapTable, maintained incrementally.
+
+    ``sum_cols`` values are summed with nulls-as-zero (SQL SUM ignores
+    NULLs; a null metric contributes 0 either way, so parity with a
+    from-scratch GROUP BY holds). Groups whose count reaches 0 are removed
+    from the view.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: SnapTable,
+        path: str,
+        group_col: str,
+        sum_cols: Sequence[str] = (),
+        num_buckets: int = 4,
+    ):
+        self.spark = spark
+        self.source = source
+        self.table = SnapTable(spark, path)
+        self.group_col = group_col
+        self.sum_cols = list(sum_cols)
+        if not self.table.exists():
+            # __g: null-safe surrogate merge key — SQL GROUP BY has a NULL
+            # group, but a merge key must hash to a real bucket, so NULL is
+            # keyed as a NUL-prefixed sentinel and the true (nullable) group
+            # value rides in its own column
+            fields = [
+                T.StructField("__g", T.StringType(), True),
+                T.StructField(group_col, T.StringType(), True),
+                T.StructField("n_rows", T.LongType(), True),
+            ] + [
+                T.StructField(f"sum_{c}", T.LongType(), True)
+                for c in self.sum_cols
+            ]
+            self.table.create(
+                T.StructType(fields),
+                key="__g",
+                num_buckets=num_buckets,
+                # synced_version: the SOURCE snapshot version this view
+                # reflects. -1 = never synced (view is empty).
+                properties={"view_synced_version": -1},
+            )
+
+    # ------------------------------------------------------------------ api
+    def synced_version(self) -> int:
+        return int(self.table.manifest()["properties"]["view_synced_version"])
+
+    _NULL_KEY = "\x00NULL"
+
+    def read(self) -> DataFrame:
+        return self.table.read().drop("__g")
+
+    def _group_agg(self, df: DataFrame, sign: int) -> DataFrame:
+        aggs = [
+            (F.count(F.lit(1)) * sign).alias("n_rows"),
+        ] + [
+            (
+                F.coalesce(F.sum(F.col(c).cast("long")), F.lit(0)) * sign
+            ).alias(f"sum_{c}")
+            for c in self.sum_cols
+        ]
+        return (
+            df.groupBy(self.group_col)
+            .agg(*aggs)
+            .withColumn(
+                "__g",
+                F.coalesce(F.col(self.group_col), F.lit(self._NULL_KEY)),
+            )
+        )
+
+    #: changed-key sets up to this size become a literal IN-filter (pushed
+    #: into the parquet scans — InSet evaluation, min/max row-group skip);
+    #: above it, a broadcast semi-join (no scan pushdown, but no plan or
+    #: driver blow-up from a huge literal list)
+    MAX_PUSHDOWN_KEYS = 10_000
+
+    def _images(self, version: int, key_values: Optional[list],
+                keys_df: DataFrame) -> DataFrame:
+        """Rows of the source at ``version`` restricted to the changed keys.
+        With a literal key list the predicate reaches the parquet scans as
+        PushedFilters (pinned by test_snaptable_read_pushes_key_filter_to_
+        scan), so this is a row-group-pruned point read, not a table scan."""
+        key = self.source.manifest()["key"]
+        snap = self.source.read(version=version)
+        if key_values is not None:
+            return snap.filter(F.col(key).isin(key_values))
+        return snap.join(F.broadcast(keys_df), on=key, how="left_semi")
+
+    def sync(self) -> dict:
+        """Advance the view to the source's current snapshot. Exact delta
+        maintenance: only changed keys are read, at exactly two versions
+        (the last-synced and the current one); everything between cancels.
+
+        First sync from an empty view (synced=-1) is the one unavoidable
+        full aggregation — there is no smaller correct answer."""
+        src_man = self.source.manifest()
+        src_version = src_man["version"]
+        key = src_man["key"]
+        last = self.synced_version()
+        if src_version <= last:
+            return {"skipped": True, "synced_version": last}
+
+        if last < 0:
+            delta = self._group_agg(self.source.read(), +1)
+        else:
+            import functools
+
+            feed = self.source.read_changes(last, src_version)
+            keys_df = feed.select(key).distinct()
+            # the feed window is trickle-sized by design; a literal key list
+            # turns both image reads into pushed-down point lookups
+            key_rows = keys_df.limit(self.MAX_PUSHDOWN_KEYS + 1).collect()
+            key_values = (
+                [r[0] for r in key_rows]
+                if len(key_rows) <= self.MAX_PUSHDOWN_KEYS
+                else None
+            )
+            old = self._group_agg(
+                self._images(last, key_values, keys_df), -1
+            )
+            new = self._group_agg(
+                self._images(src_version, key_values, keys_df), +1
+            )
+            changed = functools.reduce(
+                lambda a, b: a | b,
+                [F.col(f"sum_{c}") != 0 for c in self.sum_cols],
+                F.col("n_rows") != 0,
+            )
+            delta = (
+                old.unionByName(new)
+                .groupBy("__g")
+                .agg(
+                    F.max(self.group_col).alias(self.group_col),
+                    F.sum("n_rows").alias("n_rows"),
+                    *[
+                        F.sum(f"sum_{c}").alias(f"sum_{c}")
+                        for c in self.sum_cols
+                    ],
+                )
+                .filter(changed)
+            )
+
+        # fold the delta into the current view state for the touched groups
+        cur = self.table.read().join(
+            F.broadcast(delta.select("__g")), on="__g", how="left_semi"
+        )
+        merged = (
+            cur.unionByName(delta)
+            .groupBy("__g")
+            .agg(
+                F.max(self.group_col).alias(self.group_col),
+                F.sum("n_rows").alias("n_rows"),
+                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
+            )
+            .withColumn("__gone", F.col("n_rows") <= 0)
+        )
+        res = self.table.merge(
+            merged,
+            epoch=src_version,  # source version doubles as the view epoch:
+            # exactly-once replay of a sync is a recorded no-op
+            delete_col="__gone",
+            extra_properties={"view_synced_version": src_version},
+        )
+        return {
+            "skipped": bool(res.get("skipped")),
+            "synced_version": src_version,
+            "initial_full": last < 0,
+        }
