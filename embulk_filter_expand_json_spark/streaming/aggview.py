@@ -135,6 +135,44 @@ class IncrementalAggView:
             return snap.filter(F.col(key).isin(key_values))
         return snap.join(F.broadcast(keys_df), on=key, how="left_semi")
 
+    def _incremental_delta(
+        self, key: str, last: int, src_version: int
+    ) -> DataFrame:
+        """new − old per group over the changed keys only. Raises ValueError
+        (feed trimmed) or FileNotFoundError (pre-image snapshot expired)
+        when the incremental inputs are gone; sync() then rebuilds."""
+        import functools
+
+        feed = self.source.read_changes(last, src_version)
+        keys_df = feed.select(key).distinct()
+        # the feed window is trickle-sized by design; a literal key list
+        # turns both image reads into pushed-down point lookups
+        key_rows = keys_df.limit(self.MAX_PUSHDOWN_KEYS + 1).collect()
+        key_values = (
+            [r[0] for r in key_rows]
+            if len(key_rows) <= self.MAX_PUSHDOWN_KEYS
+            else None
+        )
+        old = self._group_agg(self._images(last, key_values, keys_df), -1)
+        new = self._group_agg(
+            self._images(src_version, key_values, keys_df), +1
+        )
+        changed = functools.reduce(
+            lambda a, b: a | b,
+            [F.col(f"sum_{c}") != 0 for c in self.sum_cols],
+            F.col("n_rows") != 0,
+        )
+        return (
+            old.unionByName(new)
+            .groupBy("__g")
+            .agg(
+                F.max(self.group_col).alias(self.group_col),
+                F.sum("n_rows").alias("n_rows"),
+                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
+            )
+            .filter(changed)
+        )
+
     def sync(self) -> dict:
         """Advance the view to the source's current snapshot. Exact delta
         maintenance: only changed keys are read, at exactly two versions
@@ -149,34 +187,34 @@ class IncrementalAggView:
         if src_version <= last:
             return {"skipped": True, "synced_version": last}
 
-        if last < 0:
-            delta = self._group_agg(self.source.read(), +1)
-        else:
-            import functools
-
-            feed = self.source.read_changes(last, src_version)
-            keys_df = feed.select(key).distinct()
-            # the feed window is trickle-sized by design; a literal key list
-            # turns both image reads into pushed-down point lookups
-            key_rows = keys_df.limit(self.MAX_PUSHDOWN_KEYS + 1).collect()
-            key_values = (
-                [r[0] for r in key_rows]
-                if len(key_rows) <= self.MAX_PUSHDOWN_KEYS
-                else None
-            )
-            old = self._group_agg(
-                self._images(last, key_values, keys_df), -1
-            )
+        full = last < 0
+        delta = None
+        if not full:
+            try:
+                delta = self._incremental_delta(key, last, src_version)
+            except (ValueError, FileNotFoundError):
+                # the feed window was trimmed past changelog_keep, or the
+                # pre-image snapshot was expired by GC — the incremental
+                # inputs are gone, so rebuild in place: delta = full agg
+                # MINUS the current view, which folds to exactly the fresh
+                # answer (and deletes vanished groups). Correct at any
+                # staleness; costs one full aggregation, as any rebuild must.
+                full = True
+        if full:
             new = self._group_agg(
-                self._images(src_version, key_values, keys_df), +1
+                self.source.read(version=src_version), +1
             )
-            changed = functools.reduce(
-                lambda a, b: a | b,
-                [F.col(f"sum_{c}") != 0 for c in self.sum_cols],
-                F.col("n_rows") != 0,
+            neg_view = self.table.read().select(
+                "__g",
+                self.group_col,
+                (-F.col("n_rows")).alias("n_rows"),
+                *[
+                    (-F.col(f"sum_{c}")).alias(f"sum_{c}")
+                    for c in self.sum_cols
+                ],
             )
             delta = (
-                old.unionByName(new)
+                new.unionByName(neg_view)
                 .groupBy("__g")
                 .agg(
                     F.max(self.group_col).alias(self.group_col),
@@ -186,7 +224,6 @@ class IncrementalAggView:
                         for c in self.sum_cols
                     ],
                 )
-                .filter(changed)
             )
 
         # fold the delta into the current view state for the touched groups
@@ -214,4 +251,5 @@ class IncrementalAggView:
             "skipped": bool(res.get("skipped")),
             "synced_version": src_version,
             "initial_full": last < 0,
+            "full_rebuild": full,
         }

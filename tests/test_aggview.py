@@ -142,6 +142,45 @@ def test_view_sync_idempotent_and_skip(spark, tmp_path):
     assert view_state(view) == [("s1", 1, 30)]
 
 
+def test_view_rebuilds_when_incremental_inputs_gone(spark, tmp_path):
+    """If GC expired the pre-image snapshot (or the feed window was trimmed)
+    between syncs, sync() must fall back to an in-place full rebuild and
+    still match the from-scratch answer — including deleting groups that
+    vanished while the view was stale."""
+    src = make_source(spark, tmp_path / "src")
+    view = IncrementalAggView(
+        spark, src, str(tmp_path / "view"), group_col="source",
+        sum_cols=["n_tok"],
+    )
+    src.merge(
+        delta(
+            spark,
+            [("a", [1], 3, "s1", False), ("b", [2], 5, "s2", False)],
+        ),
+        epoch=0,
+        delete_col="is_del",
+    )
+    view.sync()
+
+    # churn + aggressive GC: the snapshot the view synced to is expired
+    for e in range(1, 4):
+        src.merge(
+            delta(
+                spark,
+                [("a", [e], e, "s1", False)]
+                + ([("b", None, None, None, True)] if e == 2 else []),
+            ),
+            epoch=e,
+            delete_col="is_del",
+        )
+    src.expire_snapshots(keep_last=1)
+
+    r = view.sync()
+    assert r["full_rebuild"] is True and r["initial_full"] is False
+    assert view_state(view) == scratch_agg(src)
+    assert view_state(view) == [("s1", 1, 3)]  # s2 deleted during staleness
+
+
 def test_view_multi_sync_randomized_parity(spark, tmp_path):
     """Deterministic pseudo-random churn across 5 sync points — the view
     must equal the from-scratch GROUP BY at every one."""
