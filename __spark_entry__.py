@@ -526,6 +526,64 @@ def _cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_AGG_ORACLE_LOG = "/tmp/spark_graft_oracle/aggview_log"
+
+
+def _incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, hard-verified: replay the deterministic
+    change stream in two halves, syncing an IncrementalAggView between them
+    — the second sync takes the INCREMENTAL path (changed-key point reads +
+    delta fold, full_rebuild=False asserted), yet the final view must equal
+    the DuckDB oracle's from-scratch GROUP BY over the SQL-replayed final
+    state. This pins the core claim: delta maintenance from the change feed
+    is exact, not approximate."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.aggview import (
+        IncrementalAggView,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="aggview_entry_")
+    shutil.rmtree(_AGG_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+        )
+        write_changes(spark, cfg, _AGG_ORACLE_LOG)
+        pipe = CdcPipeline(
+            spark,
+            _AGG_ORACLE_LOG,
+            os.path.join(work, "table"),
+            num_buckets=8,
+            changelog=True,
+        )
+        view = IncrementalAggView(
+            spark,
+            pipe.table,
+            os.path.join(work, "view"),
+            group_col="source",
+            sum_cols=["n_tok"],
+        )
+        n_epochs = len(pipe.available_epochs())
+        pipe.run(max_epochs=max(n_epochs // 2, 1))
+        view.sync()  # initial full aggregation
+        pipe.run()  # remaining epochs
+        r = view.sync()
+        assert r["full_rebuild"] is False, "second sync must be incremental"
+        out = view.read().select("source", "n_rows", "sum_n_tok")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (SURVEY.md §2.2 + task brief)
 # ---------------------------------------------------------------------------
@@ -1134,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_dedup_keyjoin": _lww_keyjoin,
         "cdc_replay_state": _cdc_replay_state,
         "cdc_changefeed": _cdc_changefeed,
+        "incremental_agg_view": _incremental_agg_view,
         "streaming_replay_state": _streaming_replay_state,
         "doc_fingerprint": _doc_fingerprint,
         "token_stats": _token_stats,
@@ -1221,6 +1280,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_replay_state": _replay_oracle_sql(_CDC_ORACLE_LOG),
         "cdc_changefeed": _changefeed_oracle_sql(_CDF_ORACLE_LOG),
+        "incremental_agg_view": f"""
+            WITH state AS ({_replay_oracle_sql(_AGG_ORACLE_LOG)})
+            SELECT source, count(*) AS n_rows,
+                   coalesce(sum(n_tok), 0) AS sum_n_tok
+            FROM state GROUP BY source
+        """,
         "streaming_replay_state": _replay_oracle_sql(_STREAM_ORACLE_LOG),
         "expand_lineitem_json": """
             SELECT l_suppkey, l_orderkey AS ok,
