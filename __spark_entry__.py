@@ -689,6 +689,20 @@ def _minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs shingle-Jaccard near-dups (size-band candidate join,
+    no probabilistic recall gap) over the same planted fixture as the
+    MinHash query — same oracle, so the exact operator and the LSH verify
+    must agree with DuckDB and (transitively) with each other."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        ngram_jaccard_all_pairs,
+    )
+
+    return ngram_jaccard_all_pairs(
+        _docs_with_planted_near_dups(spark, sf_dir), threshold=0.8
+    )
+
+
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidates (Hamming <= 3 via the pigeonhole chunk join) ->
     exact shingle-Jaccard >= 0.9 verification, RESTRICTED to the planted
@@ -1201,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": _exact_dedup_docs,
         "exact_dup_stats": _exact_dup_stats,
         "minhash_near_dups": _minhash_near_dups,
+        "ngram_jaccard_dups": _ngram_jaccard_dups,
         "simhash_near_dups": _simhash_near_dups,
         "knn_bruteforce": _knn_bruteforce,
         "knn_lsh": _knn_lsh,
@@ -1294,6 +1309,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "minhash_near_dups": docs_shingles.format(
+            suffix=" zzz", threshold=0.8, extra_pred=""
+        ),
+        "ngram_jaccard_dups": docs_shingles.format(
             suffix=" zzz", threshold=0.8, extra_pred=""
         ),
         "simhash_near_dups": docs_shingles.format(

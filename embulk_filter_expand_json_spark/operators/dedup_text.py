@@ -221,6 +221,68 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------- exact n-gram Jaccard
 
+def ngram_jaccard_all_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard near-dup detection (no probabilistic
+    recall gap, unlike MinHash/SimHash) — the fourth dedup family of the
+    task brief as a standalone operator.
+
+    Scale strategy: Jaccard(A,B) >= t forces min(|A|,|B|) >= t*max(|A|,|B|),
+    so shingle-set SIZES must land within one log_{1/t} band of each other.
+    Each doc emits its (id, size) — ids only, no shingle arrays through the
+    shuffle — at bands {b, b+1}; a band equi-join + the exact size-ratio
+    predicate yields the candidate pairs, and the full shingle sets are
+    re-joined once on that (small) candidate set for the exact verify
+    (ngram_jaccard_pairs). This replaces the cartesian with a keyed join;
+    within a band it is still quadratic in the band's population, so at the
+    100 TB regime minhash_lsh_pairs(verify='exact') is the scale path and
+    this operator is the exact small/medium-corpus path (and the oracle of
+    record for the probabilistic ones)."""
+    import math
+
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.array_distinct(char_ngrams(F.col(text_col), shingle_size))
+        ).alias("n"),
+    )
+    band = F.floor(
+        F.log(F.col("n").cast("double")) / F.lit(math.log(1.0 / threshold))
+    )
+    emit = sizes.select(
+        "id", "n", F.explode(F.array(band, band + 1)).alias("jb")
+    )
+    a, b = emit.alias("a"), emit.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.jb") == F.col("b.jb"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()  # a pair can share both emitted bands
+    )
+    return ngram_jaccard_pairs(
+        df,
+        cand,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_size=shingle_size,
+        threshold=threshold,
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,

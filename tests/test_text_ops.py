@@ -131,6 +131,47 @@ def test_ngram_jaccard_verify(docs_df, spark):
     assert out[(0, 3)] < 0.1
 
 
+def test_ngram_jaccard_all_pairs_complete_vs_bruteforce(spark):
+    """The size-band candidate join must lose NO pair a brute-force
+    cartesian finds — exactness is this operator's whole point."""
+    import itertools
+    import random
+
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        ngram_jaccard_all_pairs,
+    )
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(40):
+        n = rng.randrange(3, 30)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    # guaranteed near-dups of assorted lengths
+    rows += [(100 + i, rows[i][1] + " zz") for i in range(0, 40, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t):
+        norm = " ".join(t.lower().split())
+        return (
+            {norm}
+            if len(norm) < 5
+            else {norm[i : i + 5] for i in range(len(norm) - 4)}
+        )
+
+    sh = {i: shingles(t) for i, t in rows}
+    want = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        if j >= 0.8:
+            want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_all_pairs(df, threshold=0.8).collect()
+    }
+    assert got == want and len(want) >= 6
+
+
 def test_simhash_near_dups(docs_df):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs_df).collect()}
     assert sigs[0] == sigs[1]  # identical text -> identical signature
