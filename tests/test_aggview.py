@@ -181,6 +181,35 @@ def test_view_rebuilds_when_incremental_inputs_gone(spark, tmp_path):
     assert view_state(view) == [("s1", 1, 3)]  # s2 deleted during staleness
 
 
+def test_view_image_reads_push_key_filter(spark, tmp_path):
+    """The incremental sync's pre/post-image reads must reach the source
+    parquet scans as pushed key predicates (point reads), not table scans."""
+    src = make_source(spark, tmp_path / "src")
+    view = IncrementalAggView(
+        spark, src, str(tmp_path / "view"), group_col="source",
+        sum_cols=["n_tok"],
+    )
+    src.merge(
+        delta(spark, [(f"k{i}", [i], i, "s1", False) for i in range(50)]),
+        epoch=0,
+        delete_col="is_del",
+    )
+    view.sync()
+    last = view.synced_version()
+    src.merge(
+        delta(spark, [("k3", [9], 9, "s2", False)]), epoch=1, delete_col="is_del"
+    )
+    d = view._incremental_delta("doc_id", last, src.manifest()["version"])
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+        if "doc_id" in seg.split("]")[0]
+    ]
+    # both image scans carry the changed-key predicate
+    assert len(pushed) >= 2, plan
+
+
 def test_view_multi_sync_randomized_parity(spark, tmp_path):
     """Deterministic pseudo-random churn across 5 sync points — the view
     must equal the from-scratch GROUP BY at every one."""

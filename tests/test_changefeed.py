@@ -227,6 +227,24 @@ def test_tail_feed_reproduces_state(spark, tmp_path):
     assert state(dst) == state(src)
 
 
+def test_read_changes_plan_has_no_shuffle(spark, tmp_path):
+    """The feed is a pure union of commit-scoped files — the physical plan
+    must contain NO Exchange (at 100 TB a feed read costs the changes read,
+    never a shuffle of anything)."""
+    t = make_table(spark, tmp_path / "t", buckets=2)
+    for e in range(3):
+        t.merge(
+            delta(spark, [(f"k{i}", [e], 1, "s", e == 2 and i == 0)
+                          for i in range(6)]),
+            epoch=e,
+            delete_col="is_del",
+        )
+    plan = (
+        t.read_changes(0)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_history_and_timestamp_travel(spark, tmp_path):
     t = make_table(spark, tmp_path / "t")
     t.merge(
