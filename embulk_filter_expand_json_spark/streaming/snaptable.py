@@ -355,6 +355,59 @@ class SnapTable:
             return merged
         return self._read_files(clean_base, schema).unionByName(merged)
 
+    def read_buckets(
+        self, buckets: List[int], version: Optional[int] = None
+    ) -> DataFrame:
+        """State of a subset of hash buckets (file-level pruning from the
+        manifest; merge-on-read resolution stays bucket-scoped). The
+        building block for readers that know which buckets they need —
+        e.g. the aggregate view reads only the buckets its changed keys
+        live in, a fraction that SHRINKS as bucket count grows with table
+        size at the 100 TB target."""
+        man = self.manifest(version)
+        schema = T.StructType.fromJson(man["schema"])
+        return self._state_df(man, schema, buckets=sorted(set(buckets)))
+
+    def lookup(
+        self, values: List, version: Optional[int] = None
+    ) -> DataFrame:
+        """Point read: rows whose merge key is in ``values``, reading ONLY
+        the hash buckets those keys live in (file-level pruning from the
+        manifest, before parquet row-group stats even apply). At the 100 TB
+        design scale with thousands of buckets this turns a key lookup from
+        an every-file scan into a handful of file reads.
+
+        The bucket of each key is resolved with the same Catalyst
+        ``xxhash64`` the writer used, via one row-sized Spark job (no table
+        data touched)."""
+        man = self.manifest(version)
+        if not values:
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(man["schema"])
+            )
+        key = man["key"]
+        num_buckets = man["num_buckets"]
+        key_type = [
+            f.dataType
+            for f in T.StructType.fromJson(man["schema"]).fields
+            if f.name == key
+        ][0]
+        vals_df = self.spark.createDataFrame(
+            [(v,) for v in values], T.StructType([T.StructField("v", key_type)])
+        )
+        buckets = sorted(
+            r[0]
+            for r in vals_df.select(
+                F.pmod(F.xxhash64("v"), F.lit(num_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        schema = T.StructType.fromJson(man["schema"])
+        return self._state_df(man, schema, buckets=buckets).filter(
+            F.col(key).isin(values)
+        )
+
     def read_changes(
         self, since_version: int, to_version: Optional[int] = None
     ) -> DataFrame:

@@ -261,3 +261,57 @@ def test_snaptable_read_pushes_key_filter_to_scan(spark, tmp_path):
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "doc_id" in pushed, plan
     assert [r["tokens"] for r in df.collect()] == [[42]]
+
+
+def test_lookup_prunes_to_key_buckets(spark, tmp_path):
+    """SnapTable.lookup must read ONLY the buckets its keys hash to
+    (file-level pruning from the manifest) and still see merge-on-read
+    state: a deferred delta row and a delete must be reflected."""
+    from pyspark.sql import functions as F
+
+    t = make_table(
+        spark,
+        tmp_path / "t",
+        buckets=8,
+        properties={
+            "min_mor_base_bytes": 0,
+            "mor_rewrite_ratio": 1e9,
+            "max_delta_files_per_bucket": 1000,
+        },
+    )
+    rows = [(f"doc-{i:04d}", [i], 1, "s", False) for i in range(400)]
+    t.merge(delta(spark, rows), epoch=0, delete_col="is_del")
+    # deferred MoR epoch: update one key, delete another
+    t.merge(
+        delta(
+            spark,
+            [("doc-0007", [777], 1, "s", False),
+             ("doc-0011", None, None, None, True)],
+        ),
+        epoch=1,
+        delete_col="is_del",
+    )
+    assert any(f.get("kind") == "delta" for f in t.manifest()["files"])
+
+    df = t.lookup(["doc-0007", "doc-0011", "doc-0042", "doc-9999"])
+    got = {r["doc_id"]: r["tokens"] for r in df.collect()}
+    assert got == {"doc-0007": [777], "doc-0042": [42]}
+
+    # file pruning: the scan only touches the buckets the 4 keys hash to
+    b = {
+        r[0]
+        for r in spark.createDataFrame(
+            [("doc-0007",), ("doc-0011",), ("doc-0042",), ("doc-9999",)],
+            "v string",
+        )
+        .select(F.pmod(F.xxhash64("v"), F.lit(8)))
+        .collect()
+    }
+    allowed = {
+        os.path.join(t.path, f["path"])
+        for f in t.manifest()["files"]
+        if f["bucket"] in b
+    }
+    touched = {p.removeprefix("file://") for p in df.inputFiles()}
+    assert touched and touched <= allowed
+    assert len(touched) < len(t.manifest()["files"])
