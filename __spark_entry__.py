@@ -584,6 +584,66 @@ def _incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_REPL_ORACLE_LOG = "/tmp/spark_graft_oracle/replica_log"
+
+
+def _derived_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-table replication, hard-verified: replay half the change
+    stream, bootstrap a FILTERED+PROJECTED replica from the feed, replay
+    the rest, catch the replica up incrementally (mode asserted) — the
+    replica must equal the DuckDB oracle's filter/projection over the
+    SQL-replayed FINAL state. Rows that updated out of the filter set
+    between syncs must have been deleted downstream, or the hash differs."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+    from embulk_filter_expand_json_spark.streaming.replicate import replicate
+    from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
+
+    def keep_big(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("n_tok") >= 32).select(
+            "doc_id",
+            "n_tok",
+            "source",
+            (F.col("n_tok").cast("long") * 2).alias("dbl_tok"),
+        )
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="replica_entry_")
+    shutil.rmtree(_REPL_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+        )
+        write_changes(spark, cfg, _REPL_ORACLE_LOG)
+        pipe = CdcPipeline(
+            spark,
+            _REPL_ORACLE_LOG,
+            os.path.join(work, "table"),
+            num_buckets=8,
+            changelog=True,
+        )
+        n_epochs = len(pipe.available_epochs())
+        pipe.run(max_epochs=max(n_epochs // 2, 1))
+        dst_path = os.path.join(work, "replica")
+        r = replicate(spark, pipe.table, dst_path, transform=keep_big)
+        assert r["mode"] == "bootstrap", r
+        pipe.run()
+        r = replicate(spark, pipe.table, dst_path, transform=keep_big)
+        assert r["mode"] == "incremental", r
+        dst = SnapTable(spark, dst_path)
+        out = dst.read().select("doc_id", "n_tok", "source", "dbl_tok")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (SURVEY.md §2.2 + task brief)
 # ---------------------------------------------------------------------------
@@ -1207,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state": _cdc_replay_state,
         "cdc_changefeed": _cdc_changefeed,
         "incremental_agg_view": _incremental_agg_view,
+        "derived_replica": _derived_replica,
         "streaming_replay_state": _streaming_replay_state,
         "doc_fingerprint": _doc_fingerprint,
         "token_stats": _token_stats,
@@ -1300,6 +1361,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_rows,
                    coalesce(sum(n_tok), 0) AS sum_n_tok
             FROM state GROUP BY source
+        """,
+        "derived_replica": f"""
+            WITH state AS ({_replay_oracle_sql(_REPL_ORACLE_LOG)})
+            SELECT doc_id, n_tok, source,
+                   CAST(n_tok AS BIGINT) * 2 AS dbl_tok
+            FROM state WHERE n_tok >= 32
         """,
         "streaming_replay_state": _replay_oracle_sql(_STREAM_ORACLE_LOG),
         "expand_lineitem_json": """
