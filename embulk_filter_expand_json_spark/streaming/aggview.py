@@ -117,6 +117,15 @@ class IncrementalAggView:
             )
         )
 
+    def _fold(self, df: DataFrame) -> DataFrame:
+        """Sum signed group contributions per surrogate key (the one fold
+        used by the incremental delta, the full rebuild, and the merge)."""
+        return df.groupBy("__g").agg(
+            F.max(self.group_col).alias(self.group_col),
+            F.sum("n_rows").alias("n_rows"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
+        )
+
     #: changed-key sets up to this size take SnapTable.lookup (literal
     #: IN-filter: manifest-level bucket pruning + pushed parquet predicate
     #: — a true point read). Above it the literal plan gets expensive to
@@ -134,7 +143,13 @@ class IncrementalAggView:
             return self.source.lookup(key_values, version=version)
         key = self.source.manifest()["key"]
         snap = self.source.read_buckets(dirty_buckets, version=version)
-        return snap.join(F.broadcast(keys_df), on=key, how="left_semi")
+        # eqNullSafe: NULL is a legal merge-key value and a plain equi-join
+        # would drop its image rows, diverging the view from a from-scratch
+        # aggregate (lookup() handles the same case with an isNull branch)
+        kd = F.broadcast(keys_df.withColumnRenamed(key, "__probe_key"))
+        return snap.join(
+            kd, on=F.col(key).eqNullSafe(F.col("__probe_key")), how="left_semi"
+        )
 
     def _incremental_delta(
         self, key: str, last: int, src_version: int
@@ -174,16 +189,7 @@ class IncrementalAggView:
             [F.col(f"sum_{c}") != 0 for c in self.sum_cols],
             F.col("n_rows") != 0,
         )
-        return (
-            old.unionByName(new)
-            .groupBy("__g")
-            .agg(
-                F.max(self.group_col).alias(self.group_col),
-                F.sum("n_rows").alias("n_rows"),
-                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
-            )
-            .filter(changed)
-        )
+        return self._fold(old.unionByName(new)).filter(changed)
 
     def sync(self) -> dict:
         """Advance the view to the source's current snapshot. Exact delta
@@ -197,7 +203,12 @@ class IncrementalAggView:
         key = src_man["key"]
         last = self.synced_version()
         if src_version <= last:
-            return {"skipped": True, "synced_version": last}
+            return {
+                "skipped": True,
+                "synced_version": last,
+                "initial_full": False,
+                "full_rebuild": False,
+            }
 
         full = last < 0
         delta = None
@@ -225,18 +236,7 @@ class IncrementalAggView:
                     for c in self.sum_cols
                 ],
             )
-            delta = (
-                new.unionByName(neg_view)
-                .groupBy("__g")
-                .agg(
-                    F.max(self.group_col).alias(self.group_col),
-                    F.sum("n_rows").alias("n_rows"),
-                    *[
-                        F.sum(f"sum_{c}").alias(f"sum_{c}")
-                        for c in self.sum_cols
-                    ],
-                )
-            )
+            delta = self._fold(new.unionByName(neg_view))
 
         # the delta is touched-groups-sized; materialize it ONCE so the
         # broadcast fold below and the merge's stage write don't each
@@ -248,15 +248,8 @@ class IncrementalAggView:
         cur = self.table.read().join(
             F.broadcast(delta.select("__g")), on="__g", how="left_semi"
         )
-        merged = (
-            cur.unionByName(delta)
-            .groupBy("__g")
-            .agg(
-                F.max(self.group_col).alias(self.group_col),
-                F.sum("n_rows").alias("n_rows"),
-                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
-            )
-            .withColumn("__gone", F.col("n_rows") <= 0)
+        merged = self._fold(cur.unionByName(delta)).withColumn(
+            "__gone", F.col("n_rows") <= 0
         )
         res = self.table.merge(
             merged,

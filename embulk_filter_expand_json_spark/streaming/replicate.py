@@ -74,11 +74,7 @@ def _apply_transform(
     )
     out = t_ups
     for extra in (dropped, dels):
-        missing = [c for c in out.columns if c not in extra.columns]
-        for c in missing:
-            field = [f for f in out.schema.fields if f.name == c][0]
-            extra = extra.withColumn(c, F.lit(None).cast(field.dataType))
-        out = out.unionByName(extra.select(out.columns))
+        out = out.unionByName(extra, allowMissingColumns=True)
     return out
 
 
@@ -153,16 +149,7 @@ def replicate(
                 .join(snap.select(key), on=key, how="left_anti")
                 .withColumn("__del", F.lit(True))
             )
-            for f in d.schema().fields:
-                if f.name not in (key,):
-                    gone = (
-                        gone
-                        if f.name in gone.columns
-                        else gone.withColumn(
-                            f.name, F.lit(None).cast(f.dataType)
-                        )
-                    )
-            snap = snap.unionByName(gone.select(snap.columns))
+            snap = snap.unionByName(gone, allowMissingColumns=True)
         d.merge(snap, epoch=src_version, delete_col="__del")
         return {"applied_versions": [src_version], "mode": mode}
 
@@ -177,16 +164,20 @@ def replicate(
             raise  # replication needs the feed; don't mask a config error
         return full_sync("resync_after_gap")
 
+    # resolve everything against the LATEST manifest only: intermediate
+    # snapshots may have been GC'd (their _log/vNNN.json unlinked), but the
+    # latest manifest still carries the retained change entries — per-batch
+    # manifest(v) reads would crash on expired versions
+    latest_man = src.manifest(src_version)
     entries = [
         e
-        for e in src.manifest(src_version).get("changes", [])
+        for e in latest_man.get("changes", [])
         if applied < e["version"] <= src_version
     ]
+    feed = src.read_changes(applied, src_version)
     applied_versions = []
     for e in sorted(entries, key=lambda e: e["version"]):
-        batch = src.read_changes(e["version"] - 1, e["version"]).filter(
-            F.col("_commit_version") == e["version"]
-        )
+        batch = feed.filter(F.col("_commit_version") == e["version"])
         out = _apply_transform(batch, transform, key)
         _auto_evolve(dst, out)
         res = dst.merge(out, epoch=e["version"], delete_col="__del")

@@ -181,17 +181,16 @@ class SnapTable:
     def version_as_of(self, ts: float) -> int:
         """Largest retained snapshot version committed at or before ``ts``
         (epoch seconds) — Iceberg's timestamp time travel resolution."""
-        best = None
-        for v in self._versions():
-            man = self.manifest(v)
-            at = man.get("committed_at")
+        # committed_at is monotone in version, so scan newest-first and
+        # return on the first hit — O(1) manifest parses in the common
+        # "as of recently" case instead of parsing every retained manifest
+        for v in reversed(self._versions()):
+            at = self.manifest(v).get("committed_at")
             if at is not None and at <= ts:
-                best = v
-        if best is None:
-            raise FileNotFoundError(
-                f"no retained snapshot committed at or before ts={ts}"
-            )
-        return best
+                return v
+        raise FileNotFoundError(
+            f"no retained snapshot committed at or before ts={ts}"
+        )
 
     def history(self) -> List[dict]:
         """Commit log of retained snapshots, oldest first — the DESCRIBE
@@ -327,9 +326,16 @@ class SnapTable:
                 )
             # no distinct on the build side: winners are one-row-per-key by
             # contract, anti-join semantics ignore dup build keys anyway,
-            # and the distinct would plan a hash exchange of its own
+            # and the distinct would plan a hash exchange of its own.
+            # eqNullSafe: NULL is ONE logical key (the window paths and
+            # lww_dedup already group NULLs), so the anti-join must match
+            # it too or the two resolve strategies diverge on NULL keys
             survivors = base_dirty_df.join(
-                F.broadcast(winners.select(key)), on=key, how="left_anti"
+                F.broadcast(
+                    winners.select(F.col(key).alias("__wk"))
+                ),
+                on=F.col(key).eqNullSafe(F.col("__wk")),
+                how="left_anti",
             )
             merged = survivors.unionByName(
                 winners.filter(~F.col(del_col)).drop(del_col)
@@ -404,9 +410,14 @@ class SnapTable:
             .collect()
         )
         schema = T.StructType.fromJson(man["schema"])
-        return self._state_df(man, schema, buckets=buckets).filter(
-            F.col(key).isin(values)
-        )
+        non_null = [v for v in values if v is not None]
+        # NULL is a legal merge-key value (xxhash64 hashes an all-null row
+        # to a real bucket), but isin() is null-rejecting — match it
+        # explicitly so a NULL-key lookup doesn't silently miss
+        pred = F.col(key).isin(non_null)
+        if len(non_null) < len(values):
+            pred = pred | F.col(key).isNull()
+        return self._state_df(man, schema, buckets=buckets).filter(pred)
 
     def read_changes(
         self, since_version: int, to_version: Optional[int] = None
@@ -509,6 +520,9 @@ class SnapTable:
         path registers staged rows as winners directly, and duplicate keys
         within one commit would otherwise resolve by the deterministic
         delete-wins tie-break rather than any caller-intended order.
+        NULL is ONE logical key (null-safe matching throughout — LWW
+        replaces/deletes a NULL-keyed row like any other; ANSI MERGE INTO
+        would instead never match NULLs and append forever).
         Returns a lineage dict; re-applying an epoch <=
         last_committed_epoch is a recorded no-op (exactly-once).
 
@@ -765,9 +779,12 @@ class SnapTable:
                 )
             # no distinct: winners are unique per key (window or contract),
             # and anti-join ignores dup build keys — skipping it removes a
-            # key-hash exchange from every rewrite epoch
+            # key-hash exchange from every rewrite epoch. eqNullSafe keeps
+            # NULL one logical key, consistent with the window resolve.
             survivors = base.join(
-                F.broadcast(winners.select(key)), on=key, how="left_anti"
+                F.broadcast(winners.select(F.col(key).alias("__wk"))),
+                on=F.col(key).eqNullSafe(F.col("__wk")),
+                how="left_anti",
             ).withColumn("__mor_del", F.lit(False))
             new_state = (
                 survivors.unionByName(winners)
@@ -829,6 +846,10 @@ class SnapTable:
                 {"version": new_seq, "epoch": epoch, "files": change_files}
             )
             keep_n = int(props.get("changelog_keep", 64))
+            if keep_n < 1:
+                # changes[-0:] would keep EVERYTHING — the opposite of the
+                # configured minimal retention; fail loudly instead
+                raise ValueError("changelog_keep must be >= 1")
             if len(man["changes"]) > keep_n:
                 trimmed = man["changes"][:-keep_n]
                 man["changes"] = man["changes"][-keep_n:]

@@ -181,6 +181,48 @@ def test_view_rebuilds_when_incremental_inputs_gone(spark, tmp_path):
     assert view_state(view) == [("s1", 1, 3)]  # s2 deleted during staleness
 
 
+def test_view_null_merge_key_both_image_paths(spark, tmp_path):
+    """NULL is a legal merge-key value; both image strategies (literal
+    lookup and the dirty-bucket semi-join above MAX_LOOKUP_KEYS) must not
+    drop its rows or the view silently diverges forever."""
+    src = make_source(spark, tmp_path / "src")
+    view = IncrementalAggView(
+        spark, src, str(tmp_path / "view"), group_col="source",
+        sum_cols=["n_tok"],
+    )
+    base = [(f"k{i}", [i], 1, "s1", False) for i in range(80)]
+    src.merge(
+        delta(spark, base + [(None, [0], 100, "s2", False)]),
+        epoch=0,
+        delete_col="is_del",
+    )
+    view.sync()
+    assert view_state(view) == scratch_agg(src)
+
+    # lookup path (2 changed keys, one NULL)
+    src.merge(
+        delta(spark, [(None, [0], 200, "s2", False), ("k0", [9], 9, "s1", False)]),
+        epoch=1,
+        delete_col="is_del",
+    )
+    r = view.sync()
+    assert not r["full_rebuild"]
+    assert view_state(view) == scratch_agg(src)
+    assert ("s2", 1, 200) in view_state(view)
+
+    # semi-join path (> MAX_LOOKUP_KEYS changed keys, one NULL)
+    churn = [(f"k{i}", [i], 2, "s1", False) for i in range(70)]
+    src.merge(
+        delta(spark, churn + [(None, [0], 300, "s2", False)]),
+        epoch=2,
+        delete_col="is_del",
+    )
+    r = view.sync()
+    assert not r["full_rebuild"]
+    assert view_state(view) == scratch_agg(src)
+    assert ("s2", 1, 300) in view_state(view)
+
+
 def test_view_image_reads_push_key_filter(spark, tmp_path):
     """The incremental sync's pre/post-image reads must reach the source
     parquet scans as pushed key predicates (point reads), not table scans."""

@@ -141,6 +141,16 @@ def test_changefeed_trim_window(spark, tmp_path):
     assert [e for e, *_ in feed_rows(t, since=valid_from)] == [3, 4]
 
 
+def test_changelog_keep_zero_rejected(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t", changelog_keep=0)
+    with pytest.raises(ValueError, match="changelog_keep"):
+        t.merge(
+            delta(spark, [("k", [1], 1, "s", False)]),
+            epoch=0,
+            delete_col="is_del",
+        )
+
+
 def test_changefeed_exactly_once_reapply(spark, tmp_path):
     t = make_table(spark, tmp_path / "t")
     d = delta(spark, [("k", [1], 1, "s", False)])

@@ -144,6 +144,28 @@ def test_resync_after_retention_gap(spark, tmp_path):
     assert ("a", 1, "s") not in state(dst)  # deleted during staleness
 
 
+def test_incremental_survives_gc_of_intermediate_snapshots(spark, tmp_path):
+    """Only the LATEST source manifest is guaranteed retained; catch-up
+    must resolve the whole feed window from it rather than reading the
+    expired per-commit manifests (which expire_snapshots unlinks)."""
+    src = make_source(spark, tmp_path / "src")
+    src.merge(
+        delta(spark, [("a", [1], 1, "s", False)]), epoch=0, delete_col="is_del"
+    )
+    replicate(spark, src, str(tmp_path / "dst"))
+    for e in range(1, 4):
+        src.merge(
+            delta(spark, [(f"k{e}", [e], e, "s", False)]),
+            epoch=e,
+            delete_col="is_del",
+        )
+    src.expire_snapshots(keep_last=1)  # intermediate manifests gone
+    r = replicate(spark, src, str(tmp_path / "dst"))
+    assert r["mode"] == "incremental" and len(r["applied_versions"]) == 3
+    dst = SnapTable(spark, str(tmp_path / "dst"))
+    assert state(dst) == state(src)
+
+
 def test_schema_evolution_propagates(spark, tmp_path):
     from pyspark.sql import types as T
 
