@@ -66,10 +66,17 @@ def _apply_transform(
     if key not in t_ups.columns:
         raise ValueError(f"transform must preserve the key column {key!r}")
     t_ups = t_ups.withColumn("__del", F.lit(False))
-    # upserts whose row left the filter set -> deletes (set semantics)
+    # upserts whose row left the filter set -> deletes (set semantics).
+    # eqNullSafe: NULL is one logical key engine-wide; a null-rejecting
+    # anti-join would flag a KEPT NULL-key upsert as dropped and emit a
+    # spurious delete alongside it
     dropped = (
         ups.select(key)
-        .join(t_ups.select(key), on=key, how="left_anti")
+        .join(
+            t_ups.select(F.col(key).alias("__tk")),
+            on=F.col(key).eqNullSafe(F.col("__tk")),
+            how="left_anti",
+        )
         .withColumn("__del", F.lit(True))
     )
     out = t_ups

@@ -189,6 +189,38 @@ def test_schema_evolution_propagates(spark, tmp_path):
     assert got == [("a", None), ("b", "en")]
 
 
+def test_null_key_row_replicates(spark, tmp_path):
+    """NULL is one logical merge key engine-wide: a kept NULL-key upsert
+    must replicate (not be flagged as filter-dropped and deleted)."""
+    src = make_source(spark, tmp_path / "src")
+    src.merge(
+        delta(spark, [("a", [1], 50, "s", False)]), epoch=0, delete_col="is_del"
+    )
+    replicate(
+        spark,
+        src,
+        str(tmp_path / "dst"),
+        transform=lambda df: df.filter(F.col("n_tok") >= 10),
+    )
+    src.merge(
+        delta(spark, [(None, [2], 60, "s", False), ("b", [3], 5, "s", False)]),
+        epoch=1,
+        delete_col="is_del",
+    )
+    replicate(
+        spark,
+        src,
+        str(tmp_path / "dst"),
+        transform=lambda df: df.filter(F.col("n_tok") >= 10),
+    )
+    dst = SnapTable(spark, str(tmp_path / "dst"))
+    got = sorted(
+        ((r["doc_id"], r["n_tok"]) for r in dst.read().collect()),
+        key=lambda t: (t[0] is None, t[0] or ""),
+    )
+    assert got == [("a", 50), (None, 60)]
+
+
 def test_changelog_disabled_raises(spark, tmp_path):
     src = SnapTable(spark, str(tmp_path / "src"))
     src.create(SEQUENCES_SCHEMA, key="doc_id", num_buckets=2)
