@@ -365,8 +365,13 @@ _KNN_PLANTED_ORACLE = """
     LIMIT 10
 """
 
-_CDC_ORACLE_LOG = "/tmp/spark_graft_oracle/cdc_log"
-_STREAM_ORACLE_LOG = "/tmp/spark_graft_oracle/stream_log"
+# oracle logs live at FIXED paths: oracle_sql() strings are built at import
+# time and DuckDB reads them by literal path. Namespaced per-UID so two
+# users' harness runs cannot clobber each other (two runs by the SAME
+# user must still not race — the driver runs queries sequentially).
+_ORACLE_TMP = f"/tmp/spark_graft_oracle_{os.getuid()}"
+_CDC_ORACLE_LOG = f"{_ORACLE_TMP}/cdc_log"
+_STREAM_ORACLE_LOG = f"{_ORACLE_TMP}/stream_log"
 
 
 def _replay_oracle_sql(log_path: str) -> str:
@@ -436,7 +441,7 @@ def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-_CDF_ORACLE_LOG = "/tmp/spark_graft_oracle/cdf_log"
+_CDF_ORACLE_LOG = f"{_ORACLE_TMP}/cdf_log"
 
 
 def _changefeed_oracle_sql(log_path: str) -> str:
@@ -526,7 +531,7 @@ def _cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-_AGG_ORACLE_LOG = "/tmp/spark_graft_oracle/aggview_log"
+_AGG_ORACLE_LOG = f"{_ORACLE_TMP}/aggview_log"
 
 
 def _incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,7 +589,7 @@ def _incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-_REPL_ORACLE_LOG = "/tmp/spark_graft_oracle/replica_log"
+_REPL_ORACLE_LOG = f"{_ORACLE_TMP}/replica_log"
 
 
 def _derived_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,7 +1097,10 @@ def _streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming query did not finish in 300s "
+                               "- a partial sink table must not be compared")
         out = window_start_us(spark.table("wc_entry"))
         res = spark.createDataFrame(out.collect(), out.schema)  # detach
         spark.catalog.dropTempView("wc_entry")
@@ -1135,7 +1143,10 @@ def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming query did not finish in 300s "
+                               "- a partial sink table must not be compared")
         out = spark.table("sw_entry")
         res = spark.createDataFrame(out.collect(), out.schema)  # detach
         spark.catalog.dropTempView("sw_entry")
@@ -1173,7 +1184,10 @@ def _stateful_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming query did not finish in 300s "
+                               "- a partial sink table must not be compared")
         out = (
             spark.table("tr_entry")
             .groupBy("prev_type", "event_type")
@@ -1660,7 +1674,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
         """,
-        # every query above is hash-verified; the two stateful replays are
-        # verified by SQL-replaying their own materialized change logs (the
-        # fixed /tmp/spark_graft_oracle paths written by the Spark queries)
+        # every query above is hash-verified; the stateful replays, the
+        # change feed, the aggregate view, and the derived replica are
+        # verified by SQL-replaying their own materialized change logs
+        # (the per-UID fixed _ORACLE_TMP paths written by the Spark queries)
     }

@@ -16,9 +16,11 @@ from typing import Optional, Tuple
 import pandas as pd
 
 # Ruby strftime token -> Python strptime token (None = unsupported).
-# Week/weekday/ISO tokens follow strptime composition rules, same as Ruby's
-# Date._strptime: %U/%W contribute a date only together with %Y + %w/%a,
-# %V only with %G + %u/%a; alone they parse but don't move the date.
+# Week/weekday/ISO tokens follow strptime composition rules: %U/%W form a
+# date only together with a year + weekday, %V only with %G + weekday.
+# INCOMPLETE combinations raise ValueError at strptime time, so
+# validate_ruby_format rejects them at plan time (clean ConfigException
+# instead of an executor-side crash mid-job).
 _RUBY_TO_PY = {
     "Y": "%Y", "y": "%y",
     "C": None,  # century alone is ambiguous in strptime; rejected at plan time
@@ -135,7 +137,35 @@ def validate_ruby_format(fmt: str) -> None:
     ExpandJsonFilterPlugin.java:122-129)."""
     if _EPOCH_SECONDS_RE.fullmatch(fmt):
         return
-    translate_ruby_to_python(fmt)
+    pyfmt, _has_date, _has_zone = translate_ruby_to_python(fmt)
+    # strptime composition rules for week/ISO tokens: an incomplete
+    # combination raises ValueError at PARSE time (errors='coerce' does not
+    # swallow format-level errors), which would abort the job executor-side
+    # mid-run — reject it here instead, like %C/%g (rules verified against
+    # pandas/CPython strptime behavior)
+    d = set(re.findall(r"%(.)", pyfmt))
+    weekday = d & set("aAwu")
+    if (d & set("UW")) and not ((d & set("Yy")) and weekday):
+        raise UnsupportedTimestampFormat(
+            f"format {fmt!r}: %U/%W require a year (%Y/%y) and a weekday "
+            "(%a/%A/%w/%u) to form a date"
+        )
+    if "V" in d:
+        if d & set("Yy"):
+            raise UnsupportedTimestampFormat(
+                f"format {fmt!r}: ISO week %V is incompatible with %Y/%y — "
+                "use the ISO year %G"
+            )
+        if not ("G" in d and weekday):
+            raise UnsupportedTimestampFormat(
+                f"format {fmt!r}: ISO week %V requires the ISO year %G and "
+                "a weekday (%a/%A/%w/%u)"
+            )
+    elif "G" in d:
+        raise UnsupportedTimestampFormat(
+            f"format {fmt!r}: ISO year %G requires the ISO week %V and a "
+            "weekday (%a/%A/%w/%u)"
+        )
 
 
 def parse_timestamp_series(

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Iterator, List, Sequence
+from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -147,11 +147,19 @@ def build_ivf_index(
         json.dump(cents.tolist(), f)
 
 
-def _probe_lists(
-    path: str, query: Sequence[float], n_probes: int
-) -> List[int]:
+def _load_centroids(path: str) -> np.ndarray:
     with open(os.path.join(path, "centroids.json")) as f:
-        cents = np.array(json.load(f), dtype=np.float32)
+        return np.array(json.load(f), dtype=np.float32)
+
+
+def _probe_lists(
+    path: str,
+    query: Sequence[float],
+    n_probes: int,
+    cents: Optional[np.ndarray] = None,
+) -> List[int]:
+    if cents is None:
+        cents = _load_centroids(path)
     q = _normalize(np.asarray(query, dtype=np.float32)[None, :])[0]
     order = np.argsort(-(cents @ q), kind="stable")
     return [int(i) for i in order[:n_probes]]
@@ -200,8 +208,11 @@ def ivf_index_topk_many(
     from pyspark.sql import Window
 
     qmat = np.asarray(queries, dtype=np.float64)
+    # load the centroid matrix ONCE for the whole batch (re-reading the
+    # JSON per query cost n_queries redundant file parses on the driver)
+    cents = _load_centroids(path)
     probes = [
-        set(_probe_lists(path, q, n_probes)) for q in queries
+        set(_probe_lists(path, q, n_probes, cents=cents)) for q in queries
     ]
     all_lists = sorted(set().union(*probes))
     # per-list boolean mask over queries: row in list L scores query j

@@ -214,9 +214,12 @@ class SnapTable:
     ) -> DataFrame:
         """Current state, or time-travel to any retained snapshot version
         (``version=``) or wall-clock instant (``as_of_ts=`` epoch seconds,
-        resolved to the newest snapshot committed at or before it)
-        (every manifest is immutable; old data files are never deleted
-        except by expire_snapshots-style GC, not implemented here).
+        resolved to the newest snapshot committed at or before it).
+        Manifests are immutable, but retention is governed by
+        ``expire_snapshots`` — which ``CdcPipeline(gc_keep_snapshots=N)``
+        runs inline after every commit — so a version handle is only valid
+        while its snapshot is retained; reads of expired versions raise
+        FileNotFoundError.
 
         Merge-on-read: when the manifest carries delta files (deferred
         small-epoch commits), the state is base UNION deltas with
@@ -885,7 +888,11 @@ class SnapTable:
                             os.unlink(os.path.join(self.path, rel))
                         except OSError:
                             pass
-        self._prune_empty_dirs()
+        # prune only THIS commit's directory tree — the one place the
+        # cleanup above can create empty dirs. A full data_dir walk here
+        # would cost O(total table files) of metadata I/O on EVERY epoch
+        # of a replay (GC ops still do the full walk, where it belongs).
+        self._prune_empty_dirs(commit_dir)
         return {
             "epoch": epoch,
             "skipped": False,
@@ -1010,9 +1017,13 @@ class SnapTable:
         self._prune_empty_dirs()
         return {"files_removed": removed}
 
-    def _prune_empty_dirs(self) -> None:
-        # bottom-up so a parent emptied by its children's removal is caught
-        for root, _dirs, _names in os.walk(self.data_dir, topdown=False):
+    def _prune_empty_dirs(self, under: Optional[str] = None) -> None:
+        # bottom-up so a parent emptied by its children's removal is caught;
+        # ``under`` limits the walk to one commit's subtree (merge hot path)
+        top = under or self.data_dir
+        if not os.path.isdir(top):
+            return
+        for root, _dirs, _names in os.walk(top, topdown=False):
             if root != self.data_dir and not os.listdir(root):
                 try:
                     os.rmdir(root)

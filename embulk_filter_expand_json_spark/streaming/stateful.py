@@ -10,8 +10,10 @@ custom-stateful tier of the brief.)
 Contract: within a micro-batch a user's events are sorted by
 (event time, order col); across micro-batches the source must deliver a
 user's events in non-decreasing event-time order (file feeds split by time
-range do — tests/test_streaming_windowed.py feeds exactly that). Under
-that contract the emitted transition multiset equals the batch
+range do — tests/test_streaming_windowed.py feeds exactly that). The
+contract is ENFORCED: an event older than the already-consumed state
+raises instead of silently corrupting emitted transitions. Under the
+contract the emitted transition multiset equals the batch
 LAG-over-window oracle, which is how the contract query hash-verifies it.
 
 Scale notes: state is ONE row (ts_us, order, type) per user — O(users),
@@ -62,6 +64,20 @@ def _emit_transitions(
     types = batch["__etype"].tolist()
     if state.exists:
         last_us, last_order, last_type = state.get
+        first = batch.iloc[0]
+        if (int(first["__evt_us"]), int(first["__order"])) < (
+            int(last_us),
+            int(last_order),
+        ):
+            # the cross-batch ordering contract (module docstring) was
+            # violated: an event older than already-consumed state arrived,
+            # so the transitions already emitted for this user are wrong —
+            # fail loudly instead of silently corrupting the output
+            raise ValueError(
+                f"transitions_stateful: user {key[0]!r} received event at "
+                f"({int(first['__evt_us'])}, {int(first['__order'])}) older "
+                f"than consumed state ({int(last_us)}, {int(last_order)})"
+            )
         prevs = [last_type] + types[:-1]
     else:
         prevs = [None] + types[:-1]

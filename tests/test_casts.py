@@ -223,3 +223,16 @@ def test_unsupported_tokens_rejected_at_plan_time():
     # the newly supported tokens all validate
     for fmt in ("%Y-%U-%w", "%Y-%W-%w", "%G-%V-%u", "%x", "%X", "%c"):
         validate_ruby_format(fmt)
+    # INCOMPLETE week/ISO combinations raise ValueError at strptime time
+    # (errors='coerce' does not swallow format-level errors), which would
+    # crash the job executor-side — they must be rejected at plan time
+    for fmt in (
+        "%Y %U",        # week without weekday
+        "%U %w",        # week without year
+        "%V %u",        # ISO week without ISO year
+        "%G %V",        # ISO pair without weekday
+        "%G",           # ISO year alone
+        "%Y %V %u",     # ISO week with non-ISO year
+    ):
+        with pytest.raises(UnsupportedTimestampFormat):
+            validate_ruby_format(fmt)
