@@ -768,6 +768,27 @@ def _ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: MinHash pairs (exact-verified) -> connected
+    components by iterative min-label propagation. The DuckDB oracle
+    recomputes the same all-pairs Jaccard edges and resolves components
+    with a recursive CTE (transitive closure -> min reachable id), so both
+    the pair set AND the clustering must be right."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+        neardup_components,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _docs_with_planted_near_dups(spark, sf_dir),
+        num_hashes=64,
+        bands=16,
+        threshold=0.8,
+        verify="exact",
+    )
+    return neardup_components(pairs)
+
+
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidates (Hamming <= 3 via the pigeonhole chunk join) ->
     exact shingle-Jaccard >= 0.9 verification, RESTRICTED to the planted
@@ -1291,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_stats": _exact_dup_stats,
         "minhash_near_dups": _minhash_near_dups,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
+        "neardup_components": _neardup_components,
         "simhash_near_dups": _simhash_near_dups,
         "knn_bruteforce": _knn_bruteforce,
         "knn_lsh": _knn_lsh,
@@ -1394,6 +1416,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard_dups": docs_shingles.format(
             suffix=" zzz", threshold=0.8, extra_pred=""
+        ),
+        # connected components over the same all-pairs edge set: recursive
+        # transitive closure, then min reachable id per node
+        "neardup_components": (
+            "WITH RECURSIVE pairs AS ("
+            + docs_shingles.format(suffix=" zzz", threshold=0.8, extra_pred="")
+            + """
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(node, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            )
+            SELECT node AS doc_id, min(label) AS component
+            FROM reach GROUP BY node
+            """
         ),
         "simhash_near_dups": docs_shingles.format(
             suffix="  ",

@@ -221,6 +221,75 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------- exact n-gram Jaccard
 
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list -> (doc_id,
+    component) with component = the minimum doc id reachable. This is the
+    step that turns pairwise near-dup detection into actionable dedup:
+    keep each component's minimum (the representative), drop the rest —
+    without it, chains (A~B, B~C, A!~C) leave duplicates behind.
+
+    Iterative min-label propagation: each round every node takes
+    min(own label, neighbors' labels); converges in graph-diameter rounds
+    (near-dup graphs are shallow — clusters are cliques-ish — so a handful
+    of rounds in practice; ``max_iter`` bounds pathological chains).
+    Each round is one join + one groupBy over the EDGE list (tiny: the
+    verified near-dup pairs, not the corpus); labels are
+    localCheckpoint'ed per round to keep the plan from growing. The
+    driver-side loop with a convergence count is the standard Spark shape
+    for iterative graph algorithms (GraphFrames' connectedComponents does
+    the same large-star/small-star looping).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), on="dst"
+            )
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
 def ngram_jaccard_all_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -172,6 +172,42 @@ def test_ngram_jaccard_all_pairs_complete_vs_bruteforce(spark):
     assert got == want and len(want) >= 6
 
 
+def test_neardup_components_vs_union_find(spark):
+    """Transitive chains (A~B, B~C, A!~C) must cluster together — compare
+    against a plain union-find over the same edges, including a length-11
+    chain that needs ~10 propagation rounds."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        neardup_components,
+    )
+
+    pairs = (
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+        + [(100 + i, 101 + i) for i in range(10)]  # chain 100..110
+    )
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in neardup_components(df).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    assert got[110] == 100 and got[3] == 1  # chain + triangle collapsed
+
+
 def test_simhash_near_dups(docs_df):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs_df).collect()}
     assert sigs[0] == sigs[1]  # identical text -> identical signature
