@@ -789,6 +789,25 @@ def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_components(pairs)
 
 
+def _docs_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup ACTION: detect near-dup pairs, cluster them, keep
+    each component's minimum id, drop the other members — the corpus a
+    training run would actually consume. Oracle: the same recursive-CTE
+    components, anti-joined in SQL."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+        neardup_components,
+    )
+
+    docs = _docs_with_planted_near_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.8, verify="exact"
+    )
+    comps = neardup_components(pairs)
+    drop = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(drop, on="doc_id", how="left_anti").select("doc_id")
+
+
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidates (Hamming <= 3 via the pigeonhole chunk join) ->
     exact shingle-Jaccard >= 0.9 verification, RESTRICTED to the planted
@@ -1313,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _minhash_near_dups,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "neardup_components": _neardup_components,
+        "docs_keep_representatives": _docs_keep_representatives,
         "simhash_near_dups": _simhash_near_dups,
         "knn_bruteforce": _knn_bruteforce,
         "knn_lsh": _knn_lsh,
@@ -1434,6 +1454,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(label) AS component
             FROM reach GROUP BY node
+            """
+        ),
+        "docs_keep_representatives": (
+            "WITH RECURSIVE pairs AS ("
+            + docs_shingles.format(suffix=" zzz", threshold=0.8, extra_pred="")
+            + """
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(node, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            ), comp AS (
+              SELECT node, min(label) AS component FROM reach GROUP BY node
+            ), uni2 AS (
+              SELECT doc_id FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id
+              FROM documents WHERE doc_id % 50 = 0
+            )
+            SELECT doc_id FROM uni2
+            WHERE doc_id NOT IN (
+              SELECT node FROM comp WHERE node <> component
+            )
             """
         ),
         "simhash_near_dups": docs_shingles.format(
