@@ -1440,7 +1440,9 @@ def oracle_sql() -> dict[str, str]:
         # connected components over the same all-pairs edge set: recursive
         # transitive closure, then min reachable id per node
         "neardup_components": (
-            "WITH RECURSIVE pairs AS ("
+            # MATERIALIZED: without it DuckDB inlines the expensive all-pairs CTE
+        # into EVERY recursion iteration (hours at sf0.1 instead of minutes)
+        "WITH RECURSIVE pairs AS MATERIALIZED ("
             + docs_shingles.format(suffix=" zzz", threshold=0.8, extra_pred="")
             + """
             ), edges AS (
@@ -1457,7 +1459,9 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "docs_keep_representatives": (
-            "WITH RECURSIVE pairs AS ("
+            # MATERIALIZED: without it DuckDB inlines the expensive all-pairs CTE
+        # into EVERY recursion iteration (hours at sf0.1 instead of minutes)
+        "WITH RECURSIVE pairs AS MATERIALIZED ("
             + docs_shingles.format(suffix=" zzz", threshold=0.8, extra_pred="")
             + """
             ), edges AS (
