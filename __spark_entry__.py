@@ -701,6 +701,31 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition metrics over documents plus planted
+    self-doubled clones (every 40th doc's text twice) — organic prose has
+    low duplicate-n-gram fractions, so the planting keeps the oracle
+    non-vacuous. Pure Catalyst, zero shuffle."""
+    from embulk_filter_expand_json_spark.functions.text import (
+        repetition_metrics,
+    )
+
+    base = _documents(spark, sf_dir).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text"),
+    )
+    uni = base.unionByName(planted)
+    n_words, ttr, d2, d3 = repetition_metrics(F.col("text"))
+    return uni.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        ttr,
+        d2,
+        d3,
+    )
+
+
 def _exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embulk_filter_expand_json_spark.operators.dedup_text import exact_dedup
 
@@ -1326,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "token_stats": _token_stats,
         "quality_scores": _quality_scores,
+        "repetition_scores": _repetition_scores,
         "lang_id": _lang_id,
         "exact_dedup_docs": _exact_dedup_docs,
         "exact_dup_stats": _exact_dup_stats,
@@ -1678,6 +1704,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
             FROM documents
+        """,
+        "repetition_scores": """
+            WITH uni AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text || ' ' || text AS text
+              FROM documents WHERE doc_id % 40 = 0
+            ), w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+              FROM uni
+            ), g AS (
+              SELECT doc_id, words, len(words) AS n,
+                     list_transform(
+                       generate_series(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i + 1]) AS g2,
+                     list_transform(
+                       generate_series(1, len(words) - 2),
+                       i -> words[i] || ' ' || words[i + 1] || ' '
+                            || words[i + 2]) AS g3
+              FROM w
+            )
+            SELECT doc_id, n AS n_words,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE round(len(list_distinct(words))::DOUBLE / n, 6)
+                   END AS type_token_ratio,
+                   CASE WHEN n < 2 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(g2))::DOUBLE
+                                   / len(g2), 6)
+                   END AS dup_2gram_frac,
+                   CASE WHEN n < 3 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(g3))::DOUBLE
+                                   / len(g3), 6)
+                   END AS dup_3gram_frac
+            FROM g
         """,
         "token_stats": """
             SELECT doc_id,

@@ -81,6 +81,48 @@ def lang_id(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def _word_ngram_dup_frac(words: Column, n: int) -> Column:
+    """Fraction of duplicated word n-grams: 1 - distinct/total (0.0 when
+    fewer than n words). The Gopher-style repetition signal — natural text
+    repeats few n-grams; boilerplate/spam repeats many."""
+    k = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - F.lit(n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    total = F.size(grams)
+    return F.when(k < n, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / total.cast("double"),
+            6,
+        )
+    )
+
+
+def repetition_metrics(text: Column):
+    """(n_words, type_token_ratio, dup_2gram_frac, dup_3gram_frac) — the
+    repetition-based quality filters of large-scale curation pipelines
+    (Gopher/C4-style), pure Catalyst, zero shuffle."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    ttr = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.size(F.array_distinct(words)).cast("double") / n.cast("double"),
+            6,
+        )
+    )
+    return (
+        n.alias("n_words"),
+        ttr.alias("type_token_ratio"),
+        _word_ngram_dup_frac(words, 2).alias("dup_2gram_frac"),
+        _word_ngram_dup_frac(words, 3).alias("dup_3gram_frac"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the case/punct/space
     normalized text (md5 so the DuckDB oracle can reproduce it bit-exact)."""

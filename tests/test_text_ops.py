@@ -330,3 +330,31 @@ def test_hash_split_deterministic_stable_proportioned(spark):
     cw = {r["split"]: r["n"] for r in
           w.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(cw) == {"a", "b"} and sum(cw.values()) == 20_000
+
+
+def test_repetition_metrics(spark):
+    from embulk_filter_expand_json_spark.functions.text import (
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "spam spam spam spam spam spam"),
+            (3, "one two three one two three"),  # doubled text
+            (4, "word"),
+        ],
+        "doc_id long, text string",
+    )
+    cols = repetition_metrics(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select("doc_id", *cols).collect()}
+    assert out[1]["type_token_ratio"] == round(8 / 9, 6)
+    assert out[1]["dup_2gram_frac"] == 0.0
+    # 'spam'x6: 5 bigrams all equal -> 1 - 1/5
+    assert out[2]["type_token_ratio"] == round(1 / 6, 6)
+    assert out[2]["dup_2gram_frac"] == 0.8
+    # doubled text: bigrams 5, distinct 3 ('three one' bridges the copies)
+    assert out[3]["dup_2gram_frac"] == 0.4
+    assert out[3]["type_token_ratio"] == 0.5
+    # single word: no n-grams -> 0.0 by definition, not an error
+    assert out[4]["dup_2gram_frac"] == 0.0 and out[4]["dup_3gram_frac"] == 0.0
