@@ -9,6 +9,9 @@ Headline queries:
 - cdc_replay: the full engine — synthesize a change log sized to the SF,
   replay binlog -> expand -> dedup -> exactly-once MERGE; reports
   change-events/sec (the BASELINE.json target metric).
+- feed_replicate: a downstream replica catching up on the table's change
+  data feed (per-commit change batches -> exactly-once MERGE; replica was
+  bootstrapped empty before the replay, so this is pure feed consumption).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32) -> master local[N].
@@ -216,7 +219,21 @@ def main() -> None:
             os.path.join(work, "table"),
             num_buckets=n_buckets,
             collect_metrics=False,
+            # change data feed on: recording change entries is zero extra
+            # writes by design (the staged files are retained, not copied),
+            # so cdc_replay stays comparable to earlier records — and it
+            # feeds the feed_replicate stage below
+            changelog=True,
         )
+        # bootstrap the replica on the still-empty table (untimed setup) so
+        # the measured stage below is a PURE feed catch-up, no snapshot copy
+        from embulk_filter_expand_json_spark.streaming.replicate import (
+            replicate,
+        )
+
+        replica_path = os.path.join(work, "replica")
+        replicate(spark, pipe.table, replica_path)
+
         t0 = time.time()
         pipe.run()
         dt = time.time() - t0
@@ -224,6 +241,16 @@ def main() -> None:
         extras["cdc_events"] = n_changes
         extras["events_per_sec"] = round(n_changes / dt, 1)
         extras["final_rows"] = pipe.table.read().count()
+
+        # feed consumer path: the replica tails the table's change data
+        # feed — per-commit change batches applied with the exactly-once
+        # MERGE — the flagship table-as-a-source flow
+        t0 = time.time()
+        r = replicate(spark, pipe.table, replica_path)
+        dt = time.time() - t0
+        assert r["mode"] == "incremental", r
+        timings["feed_replicate"] = round(dt, 3)
+        extras["feed_rows"] = pipe.table.read_changes(0).count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
