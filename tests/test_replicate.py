@@ -166,6 +166,52 @@ def test_incremental_survives_gc_of_intermediate_snapshots(spark, tmp_path):
     assert state(dst) == state(src)
 
 
+def test_coalesced_equals_per_commit_catchup(spark, tmp_path):
+    """Coalesced window catch-up (one merge, per-key LWW by commit
+    version) must reach exactly the per-commit replay's state — including
+    a key that is upserted then deleted, and one deleted then re-upserted,
+    across the pending window; with a filter transform on top."""
+    src = make_source(spark, tmp_path / "src")
+    src.merge(
+        delta(spark, [("a", [1], 50, "s", False), ("b", [2], 40, "s", False)]),
+        epoch=0,
+        delete_col="is_del",
+    )
+    f = lambda df: df.filter(F.col("n_tok") >= 10)  # noqa: E731
+    for mode in ("co", "pc"):
+        replicate(
+            spark, src, str(tmp_path / mode), transform=f,
+            coalesce_window=(mode == "co"),
+        )
+    src.merge(
+        delta(spark, [("a", None, None, None, True), ("c", [3], 30, "s", False)]),
+        epoch=1,
+        delete_col="is_del",
+    )
+    src.merge(
+        delta(spark, [("a", [9], 90, "s", False), ("c", None, None, None, True),
+                      ("b", [2], 5, "s", False)]),
+        epoch=2,
+        delete_col="is_del",
+    )
+    r_co = replicate(
+        spark, src, str(tmp_path / "co"), transform=f, coalesce_window=True
+    )
+    r_pc = replicate(
+        spark, src, str(tmp_path / "pc"), transform=f, coalesce_window=False
+    )
+    assert r_co["mode"] == r_pc["mode"] == "incremental"
+    assert r_co["applied_versions"] == r_pc["applied_versions"]
+    co = SnapTable(spark, str(tmp_path / "co"))
+    pc = SnapTable(spark, str(tmp_path / "pc"))
+    assert state(co, "doc_id", "n_tok") == state(pc, "doc_id", "n_tok")
+    # a: deleted then re-upserted -> present; b: updated out of filter ->
+    # gone; c: upserted then deleted -> gone
+    assert state(co, "doc_id", "n_tok") == [("a", 90)]
+    # and the coalesced replica paid ONE merge for the two pending commits
+    assert co.manifest()["version"] < pc.manifest()["version"]
+
+
 def test_schema_evolution_propagates(spark, tmp_path):
     from pyspark.sql import types as T
 
