@@ -330,9 +330,12 @@ _SESSIONIZE_CTE = """
       FROM lagged
     ), sess AS (
       SELECT user_id, t_us,
-             sum(is_new) OVER (
+             -- CAST: DuckDB sum(INT) yields HUGEINT (int128), which the
+             -- driver's value hasher stringifies differently from Spark's
+             -- BIGINT even when values are identical (r3 verdict #1).
+             CAST(sum(is_new) OVER (
                PARTITION BY user_id ORDER BY t_us, event_id
-               ROWS UNBOUNDED PRECEDING) AS session_seq
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM marked
     )
 """
@@ -1441,7 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_agg_view": f"""
             WITH state AS ({_replay_oracle_sql(_AGG_ORACLE_LOG)})
             SELECT source, count(*) AS n_rows,
-                   coalesce(sum(n_tok), 0) AS sum_n_tok
+                   CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS sum_n_tok
             FROM state GROUP BY source
         """,
         "derived_replica": f"""
