@@ -572,12 +572,18 @@ def _incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_buckets=8,
             changelog=True,
         )
+        # rebuild_dirty_fraction > 1 pins the INCREMENTAL delta path — the
+        # code under verification here. At this fixture's size half the
+        # epochs dirty most buckets, which the cost model would (correctly)
+        # route to the cheaper auto-rebuild; that path has its own pin in
+        # tests/test_aggview.py::test_view_wide_trickle_auto_rebuild_decision
         view = IncrementalAggView(
             spark,
             pipe.table,
             os.path.join(work, "view"),
             group_col="source",
             sum_cols=["n_tok"],
+            rebuild_dirty_fraction=1.1,
         )
         n_epochs = len(pipe.available_epochs())
         pipe.run(max_epochs=max(n_epochs // 2, 1))

@@ -144,11 +144,15 @@ def validate_ruby_format(fmt: str) -> None:
     # mid-run — reject it here instead, like %C/%g (rules verified against
     # pandas/CPython strptime behavior)
     d = set(re.findall(r"%(.)", pyfmt))
-    weekday = d & set("aAwu")
-    if (d & set("UW")) and not ((d & set("Yy")) and weekday):
+    # CPython strptime accepts only %a/%A/%w as the weekday for %U/%W
+    # ('%Y %U %u' raises ValueError even under errors='coerce'); %u is the
+    # ISO weekday and pairs only with %G/%V
+    weekday_uw = d & set("aAw")
+    weekday_iso = d & set("aAwu")
+    if (d & set("UW")) and not ((d & set("Yy")) and weekday_uw):
         raise UnsupportedTimestampFormat(
             f"format {fmt!r}: %U/%W require a year (%Y/%y) and a weekday "
-            "(%a/%A/%w/%u) to form a date"
+            "(%a/%A/%w — %u is ISO-only) to form a date"
         )
     if "V" in d:
         if d & set("Yy"):
@@ -156,7 +160,7 @@ def validate_ruby_format(fmt: str) -> None:
                 f"format {fmt!r}: ISO week %V is incompatible with %Y/%y — "
                 "use the ISO year %G"
             )
-        if not ("G" in d and weekday):
+        if not ("G" in d and weekday_iso):
             raise UnsupportedTimestampFormat(
                 f"format {fmt!r}: ISO week %V requires the ISO year %G and "
                 "a weekday (%a/%A/%w/%u)"

@@ -233,11 +233,15 @@ def neardup_components(
     keep each component's minimum (the representative), drop the rest —
     without it, chains (A~B, B~C, A!~C) leave duplicates behind.
 
-    Iterative min-label propagation: each round every node takes
-    min(own label, neighbors' labels); converges in graph-diameter rounds
-    (near-dup graphs are shallow — clusters are cliques-ish — so a handful
-    of rounds in practice; ``max_iter`` bounds pathological chains).
-    Each round is one join + one groupBy over the EDGE list (tiny: the
+    Iterative min-label propagation with pointer jumping: each round every
+    node takes min(own label, neighbors' labels), then replaces its label
+    with *its label's* label (path halving). The jump step turns
+    diameter-d chains into O(log d) rounds — the same doubling idea as
+    large-star/small-star — so ``max_iter`` = 25 covers any graph up to
+    diameter ~2^25. If the loop still exhausts ``max_iter`` with changes
+    pending, a RuntimeError is raised rather than returning silently
+    under-merged components (no silent caps).
+    Each round is two joins + one groupBy over the EDGE list (tiny: the
     verified near-dup pairs, not the corpus); labels are
     localCheckpoint'ed per round to keep the plan from growing. The
     driver-side loop with a convergence count is the standard Spark shape
@@ -263,6 +267,7 @@ def neardup_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor = (
             edges.join(
@@ -270,10 +275,26 @@ def neardup_components(
             )
             .select(F.col("src").alias("node"), "label")
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump (path halving): label <- label[label]. Labels are
+        # always node ids present in `labels`, so the self-join hits; the
+        # coalesce is belt-and-braces. This is what makes long chains
+        # converge in O(log d) rounds instead of O(d).
+        jump = propagated.select(
+            F.col("node").alias("__l"), F.col("label").alias("__ll")
+        )
+        new_labels = (
+            propagated.join(
+                jump, on=propagated["label"] == jump["__l"], how="left"
+            )
+            .select(
+                "node",
+                F.coalesce("__ll", "label").alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -285,6 +306,13 @@ def neardup_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"neardup_components did not converge after {max_iter} rounds "
+            f"({changed} labels still changing); the pair graph is deeper "
+            f"than 2^{max_iter} hops or max_iter was set too low — raise "
+            f"max_iter rather than using under-merged components"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )

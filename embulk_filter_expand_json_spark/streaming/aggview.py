@@ -44,14 +44,30 @@ from pyspark.sql import types as T
 from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
 
 
+class _RebuildPreferred(Exception):
+    """Internal: the incremental path would read more than a full rebuild
+    (wide-trickle regime); sync() catches this and rebuilds."""
+
+
 class IncrementalAggView:
     """count(*) + sum(metric...) per ``group_col`` over a changelog-enabled
     SnapTable, maintained incrementally.
 
     ``sum_cols`` values are summed with nulls-as-zero (SQL SUM ignores
     NULLs; a null metric contributes 0 either way, so parity with a
-    from-scratch GROUP BY holds). Groups whose count reaches 0 are removed
-    from the view.
+    from-scratch GROUP BY holds). Sums are typed from the SOURCE column:
+    integral columns accumulate as BIGINT, float/double as DOUBLE (same
+    widening SQL SUM applies — no silent truncation of fractional
+    metrics); any other type is rejected at view creation. Groups whose
+    count reaches 0 are removed from the view.
+
+    ``rebuild_dirty_fraction``: when a sync's changed keys exceed the
+    point-read budget AND the dirty buckets hold at least this fraction
+    of the table's base bytes (known from manifest metadata — zero extra
+    cost), sync() falls back to a full rebuild automatically: the
+    bucket-scan path reads the dirty buckets at TWO versions, so past
+    ~half the table a single full aggregation is strictly cheaper
+    (measured: aggview_incremental.json, all-buckets-dirty regime).
     """
 
     def __init__(
@@ -62,12 +78,14 @@ class IncrementalAggView:
         group_col: str,
         sum_cols: Sequence[str] = (),
         num_buckets: int = 4,
+        rebuild_dirty_fraction: float = 0.5,
     ):
         self.spark = spark
         self.source = source
         self.table = SnapTable(spark, path)
         self.group_col = group_col
         self.sum_cols = list(sum_cols)
+        self.rebuild_dirty_fraction = float(rebuild_dirty_fraction)
         if not self.table.exists():
             # __g: null-safe surrogate merge key — SQL GROUP BY has a NULL
             # group, but a merge key must hash to a real bucket, so NULL is
@@ -78,7 +96,9 @@ class IncrementalAggView:
                 T.StructField(group_col, T.StringType(), True),
                 T.StructField("n_rows", T.LongType(), True),
             ] + [
-                T.StructField(f"sum_{c}", T.LongType(), True)
+                T.StructField(
+                    f"sum_{c}", self._sum_type(source, c), True
+                )
                 for c in self.sum_cols
             ]
             self.table.create(
@@ -89,6 +109,32 @@ class IncrementalAggView:
                 # reflects. -1 = never synced (view is empty).
                 properties={"view_synced_version": -1},
             )
+        # typed accumulators come from the VIEW schema so a re-opened view
+        # keeps the types it was created with
+        vschema = {f.name: f.dataType for f in self.table.schema().fields}
+        self.sum_types = {c: vschema[f"sum_{c}"] for c in self.sum_cols}
+
+    @staticmethod
+    def _sum_type(source: SnapTable, col: str) -> T.DataType:
+        """SQL SUM's widening, made explicit: integral -> BIGINT,
+        float/double -> DOUBLE. Anything else (decimal, string, nested) is
+        rejected at view CREATION so misconfiguration never silently
+        truncates a metric mid-maintenance."""
+        dt = {f.name: f.dataType for f in source.schema().fields}.get(col)
+        if dt is None:
+            raise ValueError(
+                f"sum column {col!r} not in source schema"
+            )
+        if isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return T.LongType()
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return T.DoubleType()
+        raise ValueError(
+            f"sum column {col!r} has unsupported type {dt.simpleString()}; "
+            "incremental sums support integral and float/double columns"
+        )
 
     # ------------------------------------------------------------------ api
     def synced_version(self) -> int:
@@ -104,7 +150,11 @@ class IncrementalAggView:
             (F.count(F.lit(1)) * sign).alias("n_rows"),
         ] + [
             (
-                F.coalesce(F.sum(F.col(c).cast("long")), F.lit(0)) * sign
+                F.coalesce(
+                    F.sum(F.col(c).cast(self.sum_types[c])),
+                    F.lit(0).cast(self.sum_types[c]),
+                )
+                * sign
             ).alias(f"sum_{c}")
             for c in self.sum_cols
         ]
@@ -156,7 +206,9 @@ class IncrementalAggView:
     ) -> DataFrame:
         """new − old per group over the changed keys only. Raises ValueError
         (feed trimmed) or FileNotFoundError (pre-image snapshot expired)
-        when the incremental inputs are gone; sync() then rebuilds."""
+        when the incremental inputs are gone, or _RebuildPreferred when the
+        bucket-scan path would read more than a rebuild; sync() then
+        rebuilds."""
         import functools
 
         feed = self.source.read_changes(last, src_version)
@@ -178,6 +230,24 @@ class IncrementalAggView:
                 for f in entry["files"]
             }
         )
+        if key_values is None:
+            # wide-trickle guard (manifest metadata only, zero extra cost):
+            # the bucket-scan path reads the dirty buckets at TWO versions,
+            # so once those buckets hold >= rebuild_dirty_fraction of the
+            # table's bytes, one full aggregation reads less — hand the
+            # decision back to sync()
+            dset = set(dirty_buckets)
+            total = sum(f["bytes"] for f in src_man["files"])
+            dirty_bytes = sum(
+                f["bytes"]
+                for f in src_man["files"]
+                if f["bucket"] in dset
+            )
+            if total > 0 and dirty_bytes / total >= self.rebuild_dirty_fraction:
+                raise _RebuildPreferred(
+                    f"dirty buckets hold {dirty_bytes}/{total} bytes "
+                    f"(>= {self.rebuild_dirty_fraction:.0%})"
+                )
         old = self._group_agg(
             self._images(last, key_values, keys_df, dirty_buckets), -1
         )
@@ -208,9 +278,11 @@ class IncrementalAggView:
                 "synced_version": last,
                 "initial_full": False,
                 "full_rebuild": False,
+                "rebuild_reason": None,
             }
 
         full = last < 0
+        rebuild_reason = "initial" if full else None
         delta = None
         if not full:
             try:
@@ -223,6 +295,12 @@ class IncrementalAggView:
                 # answer (and deletes vanished groups). Correct at any
                 # staleness; costs one full aggregation, as any rebuild must.
                 full = True
+                rebuild_reason = "feed_unavailable"
+            except _RebuildPreferred:
+                # wide trickle: the dirty buckets hold most of the table —
+                # same rebuild-in-place delta, chosen for COST not necessity
+                full = True
+                rebuild_reason = "dirty_fraction"
         if full:
             new = self._group_agg(
                 self.source.read(version=src_version), +1
@@ -263,4 +341,5 @@ class IncrementalAggView:
             "synced_version": src_version,
             "initial_full": last < 0,
             "full_rebuild": full,
+            "rebuild_reason": rebuild_reason,
         }

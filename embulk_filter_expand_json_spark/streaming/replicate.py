@@ -160,10 +160,19 @@ def replicate(
             # replica keys that vanished from the source while we were
             # stale: absence from the snapshot upsert would leave them
             # behind — delete them explicitly
+            # eqNullSafe: NULL is one logical key engine-wide; a
+            # null-rejecting anti-join would never match a NULL-key
+            # replica row against the snapshot, emitting a spurious
+            # delete alongside its upsert — and delete-wins tie-break
+            # would then drop a row still present in the source
             gone = (
                 d.read()
                 .select(key)
-                .join(snap.select(key), on=key, how="left_anti")
+                .join(
+                    snap.select(F.col(key).alias("__sk")),
+                    on=F.col(key).eqNullSafe(F.col("__sk")),
+                    how="left_anti",
+                )
                 .withColumn("__del", F.lit(True))
             )
             snap = snap.unionByName(gone, allowMissingColumns=True)

@@ -233,6 +233,8 @@ def test_unsupported_tokens_rejected_at_plan_time():
         "%G %V",        # ISO pair without weekday
         "%G",           # ISO year alone
         "%Y %V %u",     # ISO week with non-ISO year
+        "%Y %U %u",     # %u is ISO-only: strptime wants %a/%A/%w with %U
+        "%Y %W %u",     # same for %W
     ):
         with pytest.raises(UnsupportedTimestampFormat):
             validate_ruby_format(fmt)

@@ -144,6 +144,43 @@ def test_resync_after_retention_gap(spark, tmp_path):
     assert ("a", 1, "s") not in state(dst)  # deleted during staleness
 
 
+def test_resync_keeps_null_key_row(spark, tmp_path):
+    """NULL is one logical key engine-wide: a full resync whose snapshot
+    still contains the NULL-key row must NOT emit a spurious delete for it
+    (a null-rejecting anti-join would never match NULL against NULL and
+    delete-wins tie-break would drop the row)."""
+    src = make_source(spark, tmp_path / "src", changelog_keep=2)
+    src.merge(
+        delta(
+            spark,
+            [(None, [0], 10, "s", False), ("b", [2], 2, "s", False)],
+        ),
+        epoch=0,
+        delete_col="is_del",
+    )
+    replicate(spark, src, str(tmp_path / "dst"))
+
+    # push past the retention window; NULL-key row untouched throughout
+    for e in range(1, 5):
+        src.merge(
+            delta(spark, [("c", [e], e, "s", False)]),
+            epoch=e,
+            delete_col="is_del",
+        )
+    r = replicate(spark, src, str(tmp_path / "dst"))
+    assert r["mode"] == "resync_after_gap"
+    dst = SnapTable(spark, str(tmp_path / "dst"))
+
+    def rows(t):  # set compare: tuples with None don't sort
+        return {
+            (r["doc_id"], r["n_tok"], r["source"])
+            for r in t.read().collect()
+        }
+
+    assert rows(dst) == rows(src)
+    assert (None, 10, "s") in rows(dst)  # survived the resync
+
+
 def test_incremental_survives_gc_of_intermediate_snapshots(spark, tmp_path):
     """Only the LATEST source manifest is guaranteed retained; catch-up
     must resolve the whole feed window from it rather than reading the

@@ -208,6 +208,40 @@ def test_neardup_components_vs_union_find(spark):
     assert got[110] == 100 and got[3] == 1  # chain + triangle collapsed
 
 
+def test_neardup_components_deep_chain_converges(spark):
+    """A diameter-60 chain exceeds the old one-hop-per-round budget of 25
+    — pointer jumping must converge it in O(log d) rounds (r3 verdict #2:
+    silent under-merge on deep chains)."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        neardup_components,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in neardup_components(df).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_neardup_components_raises_on_non_convergence(spark):
+    """Exhausting max_iter with labels still moving must raise, never
+    return under-merged components."""
+    import pytest as _pytest
+
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        neardup_components,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(df, max_iter=2)
+
+
 def test_simhash_near_dups(docs_df):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs_df).collect()}
     assert sigs[0] == sigs[1]  # identical text -> identical signature
