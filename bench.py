@@ -189,6 +189,25 @@ def main() -> None:
         lambda: windowed_counts(events).agg(F.sum("n_events")).collect(),
     )
 
+    # --- LLM-curation layer: MinHash+LSH near-dup detection ----------------
+    # Tracks the dedup operators round-over-round the way cdc_replay tracks
+    # the engine: shingle -> 64 minhashes -> 16-band LSH bucket join ->
+    # exact shingle-Jaccard verification on candidates (the same pipeline
+    # the contract's minhash_near_dups query hard-verifies at sf0.01).
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.count()  # materialize input stats outside the timing
+    n_pairs = timed(
+        "minhash_dedup",
+        lambda: minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.8, verify="exact"
+        ).count(),
+    )
+    extras["minhash_pairs"] = n_pairs
+
     # --- full CDC replay, the headline ------------------------------------
     n_changes = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", str(n_events_tbl * 5)))
     work = tempfile.mkdtemp(

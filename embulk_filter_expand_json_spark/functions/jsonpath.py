@@ -18,7 +18,9 @@ directly:
   ``/pattern/flags``
 - tail functions (Jayway 2.4.0 path functions, config-compat long tail):
   ``.length()``, ``.keys()``, ``.min()``, ``.max()``, ``.avg()``,
-  ``.sum()``, ``.stddev()`` — legal only as the last step; on an
+  ``.sum()``, ``.stddev()``, and the parameterized ``.concat(...)`` /
+  ``.append(...)`` (literal or $-rooted-path arguments, Jayway
+  Parameter semantics) — legal only as the last step; on an
   indefinite base path a single match is unwrapped first (so
   ``$..book.length()`` counts the books, matching Jayway's documented
   output), multiple matches aggregate over the match list
@@ -111,14 +113,19 @@ class Filter(Step):
     expr: "Expr"
 
 
-#: Jayway 2.4.0 path functions (PathFunctionFactory.FUNCTIONS, minus the
-#: string concat/append forms the reference's configs can't produce)
+#: Jayway 2.4.0 path functions (PathFunctionFactory.FUNCTIONS). length/keys
+#: and the numeric aggregations take no arguments; concat/append take a
+#: comma-separated parameter list (string/number/bool literals or $-rooted
+#: paths evaluated against the document root, as Jayway Parameters are).
 _TAIL_FUNCTIONS = ("length", "keys", "min", "max", "avg", "sum", "stddev")
+_PARAM_TAIL_FUNCTIONS = ("concat", "append")
 
 
 @dataclass(frozen=True)
 class TailFunction(Step):
     name: str
+    #: each arg is ("lit", value) or ("path", steps-tuple)
+    args: Tuple[Tuple[str, Any], ...] = ()
 
 
 # --- filter expression AST --------------------------------------------------
@@ -169,6 +176,10 @@ class Not(Expr):
 # ---------------------------------------------------------------------------
 
 _IDENT_RE = re.compile(r"[^.\[\]\s]+")
+#: parameterized Jayway path functions: '.concat(' / '.append(' — matched
+#: BEFORE the generic ident so the argument list gets a real parse
+_PARAM_FN_RE = re.compile(r"(concat|append)\(")
+_NUMBER_LIT_RE = re.compile(r"-?\d+(\.\d+)?")
 _NUM_RE = re.compile(r"-?\d+(\.\d+)?([eE][+-]?\d+)?")
 
 
@@ -237,6 +248,13 @@ class _Parser:
                 if self.peek() == "*":
                     self.i += 1
                     steps.append(Wildcard())
+                    continue
+                pm = _PARAM_FN_RE.match(self.text, self.i)
+                if pm:
+                    self.i = pm.end()
+                    steps.append(
+                        TailFunction(pm.group(1), self.parse_fn_args())
+                    )
                     continue
                 m = _IDENT_RE.match(self.text, self.i)
                 if not m:
@@ -364,6 +382,53 @@ class _Parser:
         if len(nums) == 1:
             return Index(nums[0])  # type: ignore[arg-type]
         return IndexUnion(tuple(n for n in nums if n is not None))
+
+    def parse_fn_args(self) -> Tuple[Tuple[str, Any], ...]:
+        """Argument list of a parameterized path function, '(' already
+        consumed. Jayway Parameters are json literals or $-rooted paths
+        ('$.a.concat("-", $.b)'); nested function calls are not part of
+        the 2.4.0 grammar."""
+        args: List[Tuple[str, Any]] = []
+        self.skip_ws()
+        while self.peek() != ")":
+            if self.i >= len(self.text):
+                raise JsonPathSyntaxError(
+                    f"unterminated function arguments in {self.text!r}"
+                )
+            c = self.peek()
+            if c in "'\"":
+                args.append(("lit", self.parse_quoted()))
+            elif c == "$":
+                self.i += 1
+                args.append(("path", self.parse_steps(top=False)))
+            elif self.startswith("true"):
+                self.i += 4
+                args.append(("lit", True))
+            elif self.startswith("false"):
+                self.i += 5
+                args.append(("lit", False))
+            elif self.startswith("null"):
+                self.i += 4
+                args.append(("lit", None))
+            else:
+                m = _NUMBER_LIT_RE.match(self.text, self.i)
+                if not m:
+                    raise JsonPathSyntaxError(
+                        f"bad function argument at {self.i} in {self.text!r}"
+                    )
+                self.i = m.end()
+                tok = m.group(0)
+                args.append(("lit", float(tok) if "." in tok else int(tok)))
+            self.skip_ws()
+            if self.peek() == ",":
+                self.i += 1
+                self.skip_ws()
+            elif self.peek() != ")":
+                raise JsonPathSyntaxError(
+                    f"expected ',' or ')' at {self.i} in {self.text!r}"
+                )
+        self.i += 1  # consume ')'
+        return tuple(args)
 
     def parse_quoted(self) -> str:
         q = self.peek()
@@ -561,14 +626,16 @@ class JsonPath:
     value or None; indefinite paths give the list of matches ([] if none).
     """
 
-    __slots__ = ("path", "steps", "is_definite", "tail_fn")
+    __slots__ = ("path", "steps", "is_definite", "tail_fn", "tail_args")
 
     def __init__(self, path: str):
         self.path = path
         steps = _Parser(path).parse_path()
         self.tail_fn: Optional[str] = None
+        self.tail_args: Tuple[Tuple[str, Any], ...] = ()
         if steps and isinstance(steps[-1], TailFunction):
             self.tail_fn = steps[-1].name
+            self.tail_args = steps[-1].args
             steps = steps[:-1]
         self.steps = steps
         # a path ending in a function always yields a single value
@@ -590,7 +657,9 @@ class JsonPath:
                 # single indefinite match unwraps (Jayway's documented
                 # '$..book.length() -> 4'); several aggregate over the list
                 model = matches[0] if len(matches) == 1 else matches
-            return _apply_tail_fn(self.tail_fn, model)
+            return _apply_tail_fn(
+                self.tail_fn, model, self.tail_args, doc
+            )
         if self.is_definite:
             v = _read_definite(self.steps, doc)
             return None if v is _MISSING else v
@@ -737,10 +806,71 @@ def _eval_filter(expr: Expr, el: Any, root: Any) -> bool:
     raise JsonPathSyntaxError(f"bad filter expr {expr!r}")
 
 
-def _apply_tail_fn(name: str, model: Any) -> Any:
+def _resolve_fn_args(
+    args: Tuple[Tuple[str, Any], ...], root: Any
+) -> List[Any]:
+    """Jayway Parameter values: literals pass through; $-rooted paths
+    evaluate against the DOCUMENT ROOT with the same read semantics as a
+    standalone path (definite -> value-or-None, indefinite -> match list)."""
+    out: List[Any] = []
+    for kind, v in args:
+        if kind == "lit":
+            out.append(v)
+        else:
+            if all(isinstance(s, (Field, Index)) for s in v):
+                got = _read_definite(v, root)
+                out.append(None if got is _MISSING else got)
+            else:
+                out.append(_eval_steps(v, [root], root))
+    return out
+
+
+def _java_to_string(v: Any) -> str:
+    """Parameter-to-String conversion (Jayway Parameter.toList(String, ..)
+    falls back to Object.toString()): Java spellings for bool; numbers as
+    Java prints them; containers as compact JSON."""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        # Java Double.toString keeps the .0 on integral doubles, as does
+        # Python's str()
+        return str(v)
+    if isinstance(v, (list, dict)):
+        import json
+
+        return json.dumps(v, separators=(",", ":"))
+    return str(v)
+
+
+def _apply_tail_fn(
+    name: str,
+    model: Any,
+    args: Tuple[Tuple[str, Any], ...] = (),
+    root: Any = None,
+) -> Any:
     """Jayway 2.4.0 path-function semantics, exceptions suppressed to None
     (the reference sets SUPPRESS_EXCEPTIONS; a type mismatch that would
     throw JsonPathException in Jayway reads as null here)."""
+    if name == "concat":
+        # text.Concat: string items of an array model concatenate first
+        # (non-strings are skipped), then every parameter appends via
+        # toString(). A null parameter NPEs in Jayway -> suppressed null.
+        vals = _resolve_fn_args(args, root)
+        if any(v is None for v in vals):
+            return None
+        buf: List[str] = []
+        if isinstance(model, list):
+            buf.extend(x for x in model if isinstance(x, str))
+        buf.extend(_java_to_string(v) for v in vals)
+        return "".join(buf)
+    if name == "append":
+        # json.Append: parameters are appended to an ARRAY model in order;
+        # any other model passes through unchanged
+        if isinstance(model, list):
+            return model + _resolve_fn_args(args, root)
+        return model
     if name == "length":
         # LengthFunction: array size, string length, or object entry count
         if isinstance(model, (list, str, dict)):

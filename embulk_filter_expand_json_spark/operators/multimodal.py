@@ -125,17 +125,38 @@ def decode_netpbm(data: bytes) -> np.ndarray:
     return arr.reshape((h, w) if channels == 1 else (h, w, channels))
 
 
+def _pillow():
+    """Codec backend, if the environment provides one (this container does
+    not). Import is per-call-site-cached by Python's module cache; the
+    try/except keeps the pure-numpy netpbm/WAV paths the testable core."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _real_decode(data: bytes, width: int, height: int) -> np.ndarray:
     """Real decode path. Netpbm decodes here in pure numpy (PPM collapses
-    to grayscale by channel mean so downstream feature shapes match);
-    compressed codecs require Pillow, absent in this container — THE
-    clearly-marked stub point."""
+    to grayscale by channel mean so downstream feature shapes match).
+    Compressed codecs (PNG/JPEG/...) decode through Pillow when the
+    environment provides it; otherwise this is THE clearly-marked stub
+    point."""
     if data[:2] in (b"P5", b"P6"):
         img = decode_netpbm(data)
         return img if img.ndim == 2 else img.mean(axis=2).astype(np.uint8)
+    Image = _pillow()
+    if Image is not None:
+        import io
+
+        with Image.open(io.BytesIO(data)) as im:
+            arr = np.asarray(im.convert("L"), dtype=np.uint8)
+        return arr
     raise NotImplementedError(
-        "compressed image decoding (PNG/JPEG/...) requires Pillow; "
-        "netpbm P5/P6 decodes natively — see decode_netpbm"
+        "compressed image decoding (PNG/JPEG/...) requires Pillow, which "
+        "this environment does not provide; netpbm P5/P6 decodes natively "
+        "— see decode_netpbm"
     )
 
 

@@ -253,3 +253,54 @@ def test_filter_empty_operator():
     doc = {"items": [{"v": ""}, {"v": []}, {"v": "x"}, {"v": [1]}, {"w": 1}]}
     assert compile_path("$.items[?(@.v empty true)].v").read(doc) == ["", []]
     assert compile_path("$.items[?(@.v empty false)].v").read(doc) == ["x", [1]]
+
+
+def test_tail_concat_function():
+    """Jayway 2.4.0 text.Concatenate: string items of an ARRAY model
+    concatenate first (non-strings skipped; non-array models contribute
+    nothing), then each parameter appends via toString(). Parameters are
+    literals or $-rooted paths."""
+    doc = {"first": "Tatu", "last": "Saloranta", "text": ["a", "b", 3],
+           "n": 2, "f": 2.5, "flag": True}
+    assert (
+        compile_path("$.concat($.first, ' ', $.last)").read(doc)
+        == "Tatu Saloranta"
+    )
+    # non-array model ignored; only parameters concatenate
+    assert compile_path("$.first.concat(' x')").read(doc) == " x"
+    # array model: string items only, then params
+    assert compile_path("$.text.concat('-tail')").read(doc) == "ab-tail"
+    assert compile_path("$.text.concat()").read(doc) == "ab"
+    # toString() conversions: int, double (keeps .0-less repr), boolean
+    assert (
+        compile_path("$.concat('v=', $.n, '/', $.f, '/', $.flag)").read(doc)
+        == "v=2/2.5/true"
+    )
+    # a null parameter NPEs in Jayway -> suppressed to null
+    assert compile_path("$.first.concat($.missing)").read(doc) is None
+
+
+def test_tail_append_function():
+    """Jayway 2.4.0 json.Append: parameters append to an ARRAY model in
+    order; any other model passes through unchanged."""
+    doc = {"nums": [1, 2, 3], "n": 7}
+    assert compile_path("$.nums.append(13)").read(doc) == [1, 2, 3, 13]
+    assert compile_path("$.nums.append(4, 5)").read(doc) == [1, 2, 3, 4, 5]
+    assert compile_path("$.nums.append('x', true, null)").read(doc) == [
+        1, 2, 3, "x", True, None,
+    ]
+    # path parameter resolves against the document root
+    assert compile_path("$.nums.append($.n)").read(doc) == [1, 2, 3, 7]
+    # non-array model: identity
+    assert compile_path("$.n.append(4)").read(doc) == 7
+
+
+def test_param_tail_function_syntax_errors():
+    for bad in (
+        "$.a.concat('x'",        # unterminated args
+        "$.a.concat('x' 'y')",   # missing comma
+        "$.a.concat(@.b)",       # @-relative params are filter-only
+        "$.a.concat(1).x",       # function must stay the last step
+    ):
+        with pytest.raises(JsonPathSyntaxError):
+            compile_path(bad)

@@ -52,10 +52,47 @@ def test_resize_images(media):
     assert all(len(r["data"]) == 16 * 16 for r in out if r["data"] is not None)
 
 
+def _has_pillow():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _has_pillow(), reason="Pillow present: compressed decode is real here"
+)
 def test_real_decoder_is_clearly_stubbed(media):
     with pytest.raises(Exception) as ei:
         image_features(media, decoder="real").collect()
     assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
+
+
+@pytest.mark.skipif(
+    not _has_pillow(), reason="Pillow not in this environment"
+)
+def test_real_decoder_uses_pillow_when_available(spark):
+    """Environments that ship Pillow get real PNG decode through the same
+    'real' kernel (grayscale-converted, same feature schema)."""
+    import io
+
+    from PIL import Image
+    import numpy as np
+
+    img = Image.fromarray(
+        (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256, mode="L"
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(0, "image/png", 8, 8, bytearray(buf.getvalue()))],
+        "media_id long, mime string, width int, height int, data binary",
+    )
+    row = image_features(df, decoder="real").collect()[0]
+    want = np.asarray(img, dtype=np.uint8)
+    assert abs(row["mean_intensity"] - want.mean()) < 1e-9
 
 
 def test_frame_sample_plan(spark):
