@@ -222,8 +222,28 @@ def _catalyst_cast(ext: Column, spec: ColumnSpec, session_tz: str) -> tuple:
     )
 
 
+#: unbound Column expressions per (plan, input-columns, tz) — rebuilding
+#: them is pure py4j round-trip cost (~0.2 s per call measured), which a
+#: per-epoch replay loop pays on every micro-batch for an identical plan.
+#: Columns are unresolved expressions, safely reusable across DataFrames.
+_CATALYST_EXPR_CACHE: dict = {}
+
+
 def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFrame:
     session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    cache_key = (
+        plan.json_column_name,
+        repr(plan.specs),
+        plan.output_schema.json(),
+        plan.stop_on_invalid_record,
+        plan.malformed_json_policy,
+        plan.source_is_json_typed,
+        tuple(df.columns),
+        session_tz,
+    )
+    cached = _CATALYST_EXPR_CACHE.get(cache_key)
+    if cached is not None:
+        return _apply_catalyst_exprs(df, plan, cached)
     doc = F.col(plan.json_column_name)
     if plan.source_is_json_typed:
         # parsed struct/map/array source: re-serialize once (the reference's
@@ -260,16 +280,16 @@ def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFra
         if len(cp.steps) == 1 and isinstance(cp.steps[0], Field)
     ]
     ext_cols: dict = {}
+    jt = None
     if len(top_level) >= 2 and not any(
         re.fullmatch(r"c\d+", c) for c in df.columns
     ):
         names = [compiled[i].steps[0].name for i in top_level]
-        df = df.select(F.col("*"), F.json_tuple(doc_guarded, *names))
         renames = {}
         for j, i in enumerate(top_level):
             renames[f"c{j}"] = f"__ext_{i}"
             ext_cols[i] = F.col(f"__ext_{i}")
-        df = df.withColumnsRenamed(renames)
+        jt = (F.json_tuple(doc_guarded, *names), renames)
 
     values = {}
     err: Column = malformed_err
@@ -296,11 +316,22 @@ def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFra
         else:
             out_cols.append(F.col(f.name))
 
+    bundle = {"jt": jt, "err": err, "out_cols": out_cols}
+    if len(_CATALYST_EXPR_CACHE) > 64:
+        _CATALYST_EXPR_CACHE.clear()
+    _CATALYST_EXPR_CACHE[cache_key] = bundle
+    return _apply_catalyst_exprs(df, plan, bundle)
+
+
+def _apply_catalyst_exprs(df: DataFrame, plan: ExpandPlan, bundle: dict) -> DataFrame:
+    if bundle["jt"] is not None:
+        generator, renames = bundle["jt"]
+        df = df.select(F.col("*"), generator).withColumnsRenamed(renames)
     if plan.stop_on_invalid_record:
-        return df.select(*out_cols)
+        return df.select(*bundle["out_cols"])
     # invalid-record channel, skip mode: drop the row
     # (FilteredPageOutput.java:258-262)
-    return df.filter(~err).select(*out_cols)
+    return df.filter(~bundle["err"]).select(*bundle["out_cols"])
 
 
 # ---------------------------------------------------------------------------

@@ -222,7 +222,15 @@ class CdcPipeline:
                 # extended expansion config. This abort is the pipeline's own
                 # decision (not a crash), so its staged files are reclaimed
                 # immediately instead of waiting for an orphan sweep.
-                self._evolve(changes, m)
+                dk = result.get("drift_keys")
+                if dk:
+                    # key names rode the observation — no separate scan job
+                    self.table.evolve_add_columns(
+                        [T.StructField(k, T.StringType(), True) for k in dk]
+                    )
+                    m.evolved_columns = dk
+                else:
+                    self._evolve(changes, m)
                 if result.get("orphaned_dir"):
                     import shutil
 
@@ -283,11 +291,17 @@ class CdcPipeline:
                 F.max(self.order).alias("hi"),
             ]
             if detect_drift and self.auto_evolve:
-                unknown = F.size(
-                    F.array_except(F.json_object_keys("payload"), known_arr)
+                # collect the unknown key NAMES, not just a flag: on the
+                # rare drift abort the evolve step then needs no separate
+                # key-scan job (when() nulls keep non-drifting rows out of
+                # the collect_list, so the aggregate stays drift-row-sized)
+                unknown_arr = F.array_except(
+                    F.json_object_keys("payload"), known_arr
                 )
                 in_aggs.append(
-                    F.max(F.when(unknown > 0, 1).otherwise(0)).alias("drift")
+                    F.collect_list(
+                        F.when(F.size(unknown_arr) > 0, unknown_arr)
+                    ).alias("drift_keys")
                 )
             observed = changes.observe(obs_in, *in_aggs)
 
@@ -341,6 +355,8 @@ class CdcPipeline:
             m.invalid = m.rows_in - valid
             m.dedup_dropped = valid - (m.deletes + m.upserts)
 
+        drift_holder: List[str] = []
+
         def pre_commit() -> bool:
             vals = obs_in.get
             if self.collect_metrics:
@@ -353,9 +369,16 @@ class CdcPipeline:
                 m.upserts = (out["n_out"] or 0) - m.deletes
                 m.invalid = vals["rows_in"] - valid
                 m.dedup_dropped = valid - (out["n_out"] or 0)
-            return not (detect_drift and self.auto_evolve and vals.get("drift", 0))
+            if detect_drift and self.auto_evolve:
+                drift_holder.extend(
+                    sorted(
+                        {k for arr in vals.get("drift_keys") or [] for k in arr}
+                    )
+                )
+                return not drift_holder
+            return True
 
-        return self.table.merge(
+        res = self.table.merge(
             deduped.withColumn("__del", F.col("op") == "D").drop(
                 "op", self.order
             ),
@@ -363,6 +386,9 @@ class CdcPipeline:
             delete_col="__del",
             pre_commit=pre_commit if use_obs else None,
         )
+        if drift_holder:
+            res["drift_keys"] = drift_holder
+        return res
 
     # ------------------------------------------------------------------ run
     def available_epochs(self) -> List[int]:

@@ -48,11 +48,17 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
+
+#: bucket counts up to this take one explicit shuffle partition per bucket
+#: in merge's writes (skips AQE's fixed ~0.2 s/job re-plan latency); larger
+#: tables keep AQE so trickle epochs don't launch thousands of empty tasks
+_EXPLICIT_BUCKET_TASKS = 256
 
 
 class CommitConflict(RuntimeError):
@@ -595,17 +601,29 @@ class SnapTable:
         stage_dir = os.path.join(self.path, stage_rel)
 
         # ---- phase 1: stage (the ONE job whose scan carries the observes).
-        # repartition WITHOUT an explicit count: hash-partitioned on
-        # __bucket so each bucket lands wholly in one task (one file per
-        # bucket/flag), while AQE sizes the partition count to the delta —
-        # a tiny epoch collapses to 1-2 write tasks instead of num_buckets
+        # Hash-partitioned on __bucket so each bucket lands wholly in one
+        # task (one file per bucket/flag). Bounded bucket counts pin the
+        # partition count to num_buckets explicitly — AQE's post-shuffle
+        # re-plan costs ~0.2 s of fixed latency per job (measured), pure
+        # waste in a per-epoch replay loop. Above the threshold (thousands
+        # of buckets, where a trickle epoch touches few and empty tasks
+        # would dominate) AQE sizes the partition count to the delta.
+        _phase_t = time.time()
+        _timings: dict = {}
+        if num_buckets <= _EXPLICIT_BUCKET_TASKS:
+            staged_part = aligned.repartition(num_buckets, "__bucket")
+        else:
+            staged_part = aligned.repartition("__bucket")
         (
-            aligned.repartition("__bucket")
+            staged_part
             .sortWithinPartitions("__bucket", "__is_delete", key)
             .write.mode("errorifexists")
             .partitionBy("__bucket", "__is_delete")
             .parquet(stage_dir)
         )
+
+        _timings["stage_sec"] = round(time.time() - _phase_t, 3)
+        _phase_t = time.time()
 
         # touched buckets + staged files (with sizes) from the directory
         # listing (a manifest-sized filesystem walk, no Spark job)
@@ -725,6 +743,9 @@ class SnapTable:
         dropped = set(rewrite_buckets)
         keep_files = [f for f in man["files"] if f["bucket"] not in dropped]
 
+        _timings["decide_sec"] = round(time.time() - _phase_t, 3)
+        _phase_t = time.time()
+
         # ---- phase 3: compaction-rewrite of the chosen buckets (one job).
         # Delta rows (existing delta files + this epoch's staged files) are
         # small — resolve last-writer-wins among them with a window, then
@@ -797,8 +818,16 @@ class SnapTable:
             )
             rw_rel = os.path.join(commit_rel, "rw")
             rw_dir = os.path.join(self.path, rw_rel)
+            # same explicit-count rule as the stage write (hash collisions
+            # across rewrite buckets just mean a task writes two files)
+            if num_buckets <= _EXPLICIT_BUCKET_TASKS:
+                rw_part = new_state.repartition(
+                    min(num_buckets, max(len(rewrite_buckets), 1)), "__bucket"
+                )
+            else:
+                rw_part = new_state.repartition("__bucket")
             (
-                new_state.repartition("__bucket")
+                rw_part
                 .sortWithinPartitions(key)
                 .write.mode("errorifexists")
                 .partitionBy("__bucket")
@@ -864,6 +893,9 @@ class SnapTable:
                 )
                 del trimmed
 
+        _timings["rewrite_sec"] = round(time.time() - _phase_t, 3)
+        _phase_t = time.time()
+
         man["summary"] = {
             "op": "merge",
             "epoch": epoch,
@@ -893,6 +925,7 @@ class SnapTable:
         # would cost O(total table files) of metadata I/O on EVERY epoch
         # of a replay (GC ops still do the full walk, where it belongs).
         self._prune_empty_dirs(commit_dir)
+        _timings["publish_sec"] = round(time.time() - _phase_t, 3)
         return {
             "epoch": epoch,
             "skipped": False,
@@ -901,6 +934,9 @@ class SnapTable:
             "buckets_deferred": len(deferred_buckets),
             "files_rewritten": files_rewritten,
             "files_written": len(new_files),
+            # phase wall-clock: where an epoch's constant costs live
+            # (stage job / MoR decision metadata / rewrite job / publish+GC)
+            "timings": _timings,
         }
 
     # --------------------------------------------------------- maintenance
