@@ -84,23 +84,33 @@ def lang_id(text: Column) -> Column:
 def _word_ngram_dup_frac(words: Column, n: int) -> Column:
     """Fraction of duplicated word n-grams: 1 - distinct/total (0.0 when
     fewer than n words). The Gopher-style repetition signal — natural text
-    repeats few n-grams; boilerplate/spam repeats many."""
-    k = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(1), k - F.lit(n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + F.lit(j)) for j in range(n)]
-        ),
-    )
-    total = F.size(grams)
-    return F.when(k < n, F.lit(0.0)).otherwise(
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct(grams)).cast("double")
-            / total.cast("double"),
-            6,
+    repeats few n-grams; boilerplate/spam repeats many.
+
+    Both the word array and the gram array are let-bound (_let1): embedding
+    them in the lambda/when bodies re-evaluates the split per element_at
+    call — n re-splits of the document per gram."""
+
+    def calc(ws: Column) -> Column:
+        k = F.size(ws)
+        grams = F.transform(
+            F.sequence(F.lit(1), k - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + F.lit(j)) for j in range(n)]
+            ),
         )
-    )
+
+        def frac(gs: Column) -> Column:
+            return (
+                F.lit(1.0)
+                - F.size(F.array_distinct(gs)).cast("double")
+                / F.size(gs).cast("double")
+            )
+
+        return F.when(k < n, F.lit(0.0)).otherwise(
+            F.round(_let1(grams, frac), 6)
+        )
+
+    return _let1(words, calc)
 
 
 def repetition_metrics(text: Column):
@@ -130,25 +140,52 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for higher-order functions: evaluate ``value`` ONCE per
+    row and pass it to ``body`` as a lambda variable. An expression embedded
+    directly in a HOF lambda body is re-evaluated per ELEMENT (HOFs are
+    interpreted, no subexpression elimination) — for char_ngrams that meant
+    one lower+regexp_replace of the whole document per shingle, O(len^2)
+    with a regex inside (measured 4.5x the whole MinHash signature cost).
+    ``body`` must return an array; the single-element wrapper flattens away.
+    """
+    return F.flatten(F.transform(F.array(value), body))
+
+
+def _let1(value: Column, body) -> Column:
+    """Scalar-result let-binding (see _let): evaluate ``value`` once per
+    row, apply ``body`` (returning a scalar Column), unwrap."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Array of character n-grams of the normalized text (shingles for
-    MinHash). Pure Catalyst: sequence + transform + substring."""
+    MinHash). Pure Catalyst: sequence + transform + substring, with the
+    normalized string let-bound so it computes once per row."""
     normalized = F.lower(F.regexp_replace(text, r"\s+", " "))
-    length = F.length(normalized)
-    return F.when(length < n, F.array(normalized)).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), length - F.lit(n - 1)),
-            lambda i: F.substring(normalized, i, n),
+
+    def gen(s: Column) -> Column:
+        ln = F.length(s)
+        return F.when(ln < n, F.array(s)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), ln - F.lit(n - 1)),
+                lambda i: F.substring(s, i, n),
+            )
         )
-    )
+
+    return _let(normalized, gen)
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    words = F.split(F.lower(F.trim(text)), r"\s+")
-    k = F.size(words)
-    return F.when(k < n, F.array(F.array_join(words, " "))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), k - F.lit(n)),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    split = F.split(F.lower(F.trim(text)), r"\s+")
+
+    def gen(words: Column) -> Column:
+        k = F.size(words)
+        return F.when(k < n, F.array(F.array_join(words, " "))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), k - F.lit(n)),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            )
         )
-    )
+
+    return _let(split, gen)
