@@ -403,6 +403,9 @@ def ngram_jaccard_all_pairs(
     emit = sizes.select(
         "id", "n", F.explode(F.array(band, band + 1)).alias("jb")
     )
+    # materialize before the self-join: both sides are independent plan
+    # branches and would each re-shingle the corpus just to count sizes
+    emit = emit.localCheckpoint(eager=True)
     a, b = emit.alias("a"), emit.alias("b")
     cand = (
         a.join(
@@ -577,6 +580,10 @@ def simhash_near_dup_pairs(
             )
         ).alias("ck"),
     ).select(id_col, "simhash", F.col("ck.ci").alias("ci"), F.col("ck.cv").alias("cv"))
+    # materialize before the self-join: the two sides are independent plan
+    # branches, and re-running this one means re-running the whole Arrow
+    # bit-voting kernel over the corpus. (id, simhash, 4 chunk keys) rows.
+    chunks = chunks.localCheckpoint(eager=True)
     a = chunks.select(
         "ci", "cv", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a")
     )

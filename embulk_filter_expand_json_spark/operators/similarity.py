@@ -210,7 +210,14 @@ def embedding_near_dup_pairs(
     dominate shuffle bytes if they rode both sides. Vectors are re-joined
     once per side onto the (tiny) deduped candidate set, mirroring the
     ids-only band join in dedup_text.minhash_lsh_pairs."""
-    sigs = lsh_signatures(df, dim, n_bits, seed, vec_col, id_col)
+    # materialize (sig, id) before the self-join and the candidate pairs
+    # before the two vector joins: each is referenced by two independent
+    # plan branches, which would otherwise re-run the signature projection
+    # (dim x n_bits dot products per vector) and the bucket join twice.
+    # Both tables are ids-only — signature-table-sized and pair-sized.
+    sigs = lsh_signatures(df, dim, n_bits, seed, vec_col, id_col).localCheckpoint(
+        eager=True
+    )
     a = sigs.select(F.col("sig"), F.col(id_col).alias("id_a"))
     b = sigs.select(F.col("sig"), F.col(id_col).alias("id_b"))
     cand = (
@@ -218,6 +225,7 @@ def embedding_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     vecs = df.select(F.col(id_col), F.col(vec_col))
     pairs = cand.join(
