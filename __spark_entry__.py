@@ -203,16 +203,23 @@ def _expand_struct_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _expand_tail_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jayway path functions (.length()/.sum() tail steps) through the Arrow
-    general path — a derived payload with a deterministic int array per
-    event, verified against DuckDB's json_array_length / list aggregation."""
+    """Jayway path functions (.length()/.sum() aggregations plus the
+    parameterized .concat()/.append()) through the Arrow general path — a
+    derived payload with a deterministic int array + tag list per event,
+    verified against DuckDB string/list operations."""
     from embulk_filter_expand_json_spark import expand_json
 
     ev = _events(spark, sf_dir)
     arr = F.sequence(F.lit(1), (F.col("event_id") % 5 + 1).cast("int"))
     src = ev.select(
         "event_id",
-        F.to_json(F.struct(arr.alias("a"))).alias("payload"),
+        F.to_json(
+            F.struct(
+                arr.alias("a"),
+                F.array(F.col("event_type"), F.lit("k")).alias("tags"),
+                (F.col("event_id") % 7).alias("n"),
+            )
+        ).alias("payload"),
     )
     return expand_json(
         src,
@@ -221,10 +228,22 @@ def _expand_tail_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expanded_columns": [
                 {"name": "a.length()", "type": "long"},
                 {"name": "a.sum()", "type": "double"},
+                # concat: string items of the array model, then params
+                # (a literal and a $-rooted path, toString()'d)
+                {"name": "tags.concat('-', $.n)", "type": "string"},
+                # append: array model + param -> compact JSON string
+                {"name": "tags.append($.n)", "type": "string"},
             ],
         },
         mode="arrow",
-    ).withColumnsRenamed({"a.length()": "a_len", "a.sum()": "a_sum"})
+    ).withColumnsRenamed(
+        {
+            "a.length()": "a_len",
+            "a.sum()": "a_sum",
+            "tags.concat('-', $.n)": "tag_cat",
+            "tags.append($.n)": "tag_app",
+        }
+    )
 
 
 def _expand_lineitem_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1442,7 +1461,10 @@ def oracle_sql() -> dict[str, str]:
                    list_aggregate(
                      list_transform(generate_series(1, (event_id % 5 + 1)::INT),
                                     x -> x::DOUBLE),
-                     'sum') AS a_sum
+                     'sum') AS a_sum,
+                   event_type || 'k' || '-' || (event_id % 7) AS tag_cat,
+                   '["' || event_type || '","k",' || (event_id % 7) || ']'
+                     AS tag_app
             FROM events
         """,
         "cdc_replay_state": _replay_oracle_sql(_CDC_ORACLE_LOG),
