@@ -377,3 +377,51 @@ def test_expand_struct_source_both_paths(spark):
             ("u0", 0), ("u1", 10), ("u2", 20)
         ], mode
         assert out[0]["payload"]["name"] == "u0"  # struct passthrough kept
+
+
+def test_catalyst_expr_cache_keys_on_tz_and_columns(spark):
+    """The catalyst expression cache must MISS when the session timezone or
+    the input column set changes — a stale hit would silently parse
+    timestamps in the wrong zone or take the json_tuple fast path against
+    a colliding cN column."""
+    from embulk_filter_expand_json_spark import expand_json
+    from embulk_filter_expand_json_spark.operators import expand as E
+
+    cfg = {
+        "json_column_name": "doc",
+        "expanded_columns": [
+            {"name": "t", "type": "timestamp", "format": "%Y-%m-%d %H:%M:%S"},
+            {"name": "k", "type": "long"},
+        ],
+    }
+    df = spark.createDataFrame(
+        [('{"t": "2024-06-01 12:00:00", "k": 7}',)], "doc string"
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = expand_json(df, cfg, mode="catalyst").collect()[0]["t"]
+        n_entries = len(E._CATALYST_EXPR_CACHE)
+        # same plan + tz: cache hit, identical result
+        assert (
+            expand_json(df, cfg, mode="catalyst").collect()[0]["t"] == utc
+        )
+        assert len(E._CATALYST_EXPR_CACHE) == n_entries
+        # different session tz: separate cache entry (the cast expressions
+        # embed session-tz corrections), while the parsed INSTANT stays
+        # identical — the engine's session-tz-invariance contract. A stale
+        # UTC-keyed hit under Tokyo would shift the instant by -9h.
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        tokyo = expand_json(df, cfg, mode="catalyst").collect()[0]["t"]
+        assert len(E._CATALYST_EXPR_CACHE) == n_entries + 1
+        assert tokyo == utc  # same instant, rendered identically
+        # different input columns: new entry, same values
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df2 = df.withColumn("extra", F.lit(1))
+        assert (
+            expand_json(df2, cfg, mode="catalyst").collect()[0]["t"] == utc
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
