@@ -553,6 +553,79 @@ def _cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_SCDF_ORACLE_LOG = f"{_ORACLE_TMP}/streamfeed_log"
+
+
+def _streaming_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change data feed consumed as a STRUCTURED STREAMING source
+    (Spark 4 Python DataSource API, streaming/feed_source.py): same
+    deterministic replay as cdc_changefeed, but the feed rows arrive
+    through readStream.format('snaptable_changes') with an availableNow
+    trigger and a parquet sink — and must equal the same DuckDB oracle
+    that recomputes the feed from the materialized log. Pins that the
+    streaming offsets (manifest versions), per-file partitions, and
+    pyarrow executor reads reproduce read_changes byte-true."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.feed_source import (
+        SnapTableChangesDataSource,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="scdf_entry_")
+    shutil.rmtree(_SCDF_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+        )
+        write_changes(spark, cfg, _SCDF_ORACLE_LOG)
+        pipe = CdcPipeline(
+            spark,
+            _SCDF_ORACLE_LOG,
+            os.path.join(work, "table"),
+            num_buckets=8,
+            changelog=True,
+        )
+        pipe.run()
+        spark.dataSource.register(SnapTableChangesDataSource)
+        sink = os.path.join(work, "sink")
+        q = (
+            spark.readStream.format("snaptable_changes")
+            .option("path", pipe.table.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        feed = spark.read.parquet(sink)
+        lang = (
+            F.col("lang")
+            if "lang" in feed.columns
+            else F.lit(None).cast("string")
+        )
+        out = feed.select(
+            "_commit_epoch",
+            "doc_id",
+            "_change_type",
+            "n_tok",
+            "source",
+            lang.alias("lang"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _AGG_ORACLE_LOG = f"{_ORACLE_TMP}/aggview_log"
 
 
@@ -1373,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_dedup_keyjoin": _lww_keyjoin,
         "cdc_replay_state": _cdc_replay_state,
         "cdc_changefeed": _cdc_changefeed,
+        "streaming_changefeed": _streaming_changefeed,
         "incremental_agg_view": _incremental_agg_view,
         "derived_replica": _derived_replica,
         "streaming_replay_state": _streaming_replay_state,
@@ -1469,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_replay_state": _replay_oracle_sql(_CDC_ORACLE_LOG),
         "cdc_changefeed": _changefeed_oracle_sql(_CDF_ORACLE_LOG),
+        "streaming_changefeed": _changefeed_oracle_sql(_SCDF_ORACLE_LOG),
         "incremental_agg_view": f"""
             WITH state AS ({_replay_oracle_sql(_AGG_ORACLE_LOG)})
             SELECT source, count(*) AS n_rows,
