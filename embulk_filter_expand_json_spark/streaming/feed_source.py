@@ -46,6 +46,7 @@ from typing import Iterator, Optional
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -154,12 +155,29 @@ class SnapTableChangesStreamReader(DataSourceStreamReader):
         pass
 
 
+class SnapTableChangesBatchReader(DataSourceReader):
+    """Batch flavor of the same format: the whole retained window (or
+    since_version..latest) in one read — read_changes through the
+    DataSource front door, same partition/read kernels as the stream."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self._stream = SnapTableChangesStreamReader(schema, options)
+
+    def partitions(self):
+        start = self._stream.initialOffset()
+        end = self._stream.latestOffset()
+        return self._stream.partitions(start, end)
+
+    def read(self, partition: _ChangeFilePartition) -> Iterator:
+        return self._stream.read(partition)
+
+
 class SnapTableChangesDataSource(DataSource):
     """``spark.read[Stream].format("snaptable_changes").option("path", p)``.
 
     Options: ``path`` (required, the SnapTable root);
-    ``since_version`` (optional, stream-start offset — default: the
-    feed's ``changes_valid_from``, i.e. everything retained)."""
+    ``since_version`` (optional, start offset — default: the feed's
+    ``changes_valid_from``, i.e. everything retained)."""
 
     @classmethod
     def name(cls) -> str:
@@ -169,6 +187,9 @@ class SnapTableChangesDataSource(DataSource):
         man = _latest_manifest(self.options["path"])
         base = T.StructType.fromJson(man["schema"])
         return T.StructType(list(base.fields) + list(_META_FIELDS))
+
+    def reader(self, schema: T.StructType) -> SnapTableChangesBatchReader:
+        return SnapTableChangesBatchReader(schema, self.options)
 
     def streamReader(self, schema: T.StructType) -> SnapTableChangesStreamReader:
         return SnapTableChangesStreamReader(schema, self.options)

@@ -125,3 +125,34 @@ def test_stream_fails_loudly_past_retention(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="feed incomplete"):
         run_stream(spark, tmp_path / "t", out, ckpt)
         raise AssertionError("stream must not succeed past retention")
+
+
+def test_batch_read_matches_read_changes(spark, tmp_path):
+    """spark.read.format('snaptable_changes') — the batch flavor — must
+    equal read_changes over the same window, including since_version."""
+    t = make_table(spark, tmp_path / "t")
+    t.merge(
+        delta(spark, [("a", [1], 1, "s", False), ("b", [2], 2, "s", False)]),
+        epoch=0,
+        delete_col="is_del",
+    )
+    v1 = t.manifest()["version"]
+    t.merge(
+        delta(spark, [("a", None, None, None, True), ("c", [3], 3, "s", False)]),
+        epoch=1,
+        delete_col="is_del",
+    )
+    spark.dataSource.register(SnapTableChangesDataSource)
+    full = (
+        spark.read.format("snaptable_changes")
+        .option("path", str(tmp_path / "t"))
+        .load()
+    )
+    assert rows_key(full) == rows_key(t.read_changes(0))
+    tail = (
+        spark.read.format("snaptable_changes")
+        .option("path", str(tmp_path / "t"))
+        .option("since_version", str(v1))
+        .load()
+    )
+    assert rows_key(tail) == rows_key(t.read_changes(v1))
