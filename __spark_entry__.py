@@ -934,6 +934,31 @@ def _docs_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(drop, on="doc_id", how="left_anti").select("doc_id")
 
 
+def _docs_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted dedup action: cluster near-dups, keep each
+    component's HIGHEST-quality member (ties -> lowest id) instead of the
+    arbitrary min-id — what a curation pipeline actually wants. The
+    planted ' zzz' clones usually outscore their originals (longer text,
+    lower punctuation ratio), so the survivor set genuinely differs from
+    docs_keep_representatives. Oracle: the same recursive-CTE components
+    plus the SQL quality formula and a per-component argmax."""
+    from embulk_filter_expand_json_spark.functions.text import quality_score
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        dedup_keep_best,
+        minhash_lsh_pairs,
+        neardup_components,
+    )
+
+    docs = _docs_with_planted_near_dups(spark, sf_dir).withColumn(
+        "qscore", quality_score(F.col("text"))
+    )
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.8, verify="exact"
+    )
+    comps = neardup_components(pairs)
+    return dedup_keep_best(docs, comps, score_col="qscore").select("doc_id")
+
+
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidates (Hamming <= 3 via the pigeonhole chunk join) ->
     exact shingle-Jaccard >= 0.9 verification, RESTRICTED to the planted
@@ -1461,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "neardup_components": _neardup_components,
         "docs_keep_representatives": _docs_keep_representatives,
+        "docs_keep_best_quality": _docs_keep_best_quality,
         "simhash_near_dups": _simhash_near_dups,
         "knn_bruteforce": _knn_bruteforce,
         "knn_lsh": _knn_lsh,
@@ -1615,6 +1641,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM uni2
             WHERE doc_id NOT IN (
               SELECT node FROM comp WHERE node <> component
+            )
+            """
+        ),
+        "docs_keep_best_quality": (
+            "WITH RECURSIVE pairs AS MATERIALIZED ("
+            + docs_shingles.format(suffix=" zzz", threshold=0.8, extra_pred="")
+            + """
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(node, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            ), comp AS (
+              SELECT node, min(label) AS component FROM reach GROUP BY node
+            ), uni2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text
+              FROM documents WHERE doc_id % 50 = 0
+            ), q AS (
+              SELECT doc_id,
+                     round((least(length(text) / 500.0, 1.0)
+                            + (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                                ELSE len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                                     / length(text) END * 4.0, 1.0))
+                            + least(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+                                ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                    w -> w IN ('the','and','of','to','in')))::DOUBLE
+                                     / len(regexp_split_to_array(lower(trim(text)), '\\s+')) END * 5.0, 1.0)
+                           ) / 3.0, 6) AS qscore
+              FROM uni2
+            ), reps AS (
+              SELECT node FROM (
+                SELECT c.node,
+                       row_number() OVER (PARTITION BY c.component
+                                          ORDER BY q.qscore DESC, c.node) AS rn
+                FROM comp c JOIN q ON q.doc_id = c.node
+              ) WHERE rn = 1
+            )
+            SELECT doc_id FROM uni2
+            WHERE doc_id NOT IN (
+              SELECT node FROM comp
+              WHERE node NOT IN (SELECT node FROM reps)
             )
             """
         ),

@@ -268,6 +268,42 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------- exact n-gram Jaccard
 
+def dedup_keep_best(
+    df: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ONE representative per near-dup component: the member with the
+    HIGHEST ``score_col`` (ties -> lowest id). Documents not in any
+    component pass through untouched. This is the dedup action real
+    curation pipelines run — when near-identical documents cluster, keep
+    the highest-quality copy, not an arbitrary (min-id) one.
+
+    Scale shape: the window runs over the COMPONENT list (the clustered
+    docs only — orders of magnitude smaller than the corpus), scores join
+    onto it by id, and the corpus pays one anti-join against the non-
+    representative ids. No corpus-sized shuffle.
+    """
+    from pyspark.sql import Window
+
+    scored = components.join(
+        df.select(F.col(id_col), F.col(score_col)), on=id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    reps = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col)
+    )
+    non_reps = components.select(id_col).join(
+        reps, on=id_col, how="left_anti"
+    )
+    return df.join(non_reps, on=id_col, how="left_anti")
+
+
 def neardup_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -392,3 +392,29 @@ def test_repetition_metrics(spark):
     assert out[3]["type_token_ratio"] == 0.5
     # single word: no n-grams -> 0.0 by definition, not an error
     assert out[4]["dup_2gram_frac"] == 0.0 and out[4]["dup_3gram_frac"] == 0.0
+
+
+def test_dedup_keep_best(spark):
+    """Quality-weighted representative selection: highest score wins, ties
+    break to the lowest id, unclustered docs pass through."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0.5), (2, 0.9), (3, 0.9),   # component 1: 2 and 3 tie -> 2
+            (10, 0.7), (11, 0.3),           # component 10: 10 wins
+            (99, 0.1),                      # unclustered: passes through
+        ],
+        "doc_id long, q double",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, component long",
+    )
+    got = {
+        r["doc_id"]
+        for r in dedup_keep_best(docs, comps, score_col="q").collect()
+    }
+    assert got == {2, 10, 99}
