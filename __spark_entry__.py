@@ -959,6 +959,32 @@ def _docs_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(docs, comps, score_col="qscore").select("doc_id")
 
 
+def _docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-LINE removal (C4/RefinedWeb boilerplate
+    rule) over a planted multi-line fixture: every doc gains a unique
+    'sig <id>' line; every third doc gains the same 'AD: subscribe now'
+    boilerplate line. The operator must strip the boilerplate everywhere,
+    keep the unique lines, and keep (possibly emptied) rows. Oracle:
+    DuckDB aligned-unnest line explode + distinct-doc counts +
+    order-preserving string_agg."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        remove_duplicate_lines,
+    )
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("AD: subscribe now")
+            ),
+            F.concat(F.lit("sig "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return remove_duplicate_lines(docs, min_docs=2).select("doc_id", "text")
+
+
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidates (Hamming <= 3 via the pigeonhole chunk join) ->
     exact shingle-Jaccard >= 0.9 verification, RESTRICTED to the planted
@@ -1487,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components": _neardup_components,
         "docs_keep_representatives": _docs_keep_representatives,
         "docs_keep_best_quality": _docs_keep_best_quality,
+        "docs_line_dedup": _docs_line_dedup,
         "simhash_near_dups": _simhash_near_dups,
         "knn_bruteforce": _knn_bruteforce,
         "knn_lsh": _knn_lsh,
@@ -1690,6 +1717,34 @@ def oracle_sql() -> dict[str, str]:
             )
             """
         ),
+        "docs_line_dedup": """
+            WITH uni AS (
+              SELECT doc_id,
+                     concat_ws(chr(10), text,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'AD: subscribe now' END,
+                       'sig ' || doc_id) AS text
+              FROM documents
+            ), l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1))
+                       AS pos
+              FROM uni
+            ), dup AS (
+              SELECT trim(line) AS n FROM l
+              WHERE trim(line) <> ''
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+            ), kept AS (
+              SELECT doc_id, line, pos FROM l
+              WHERE trim(line) NOT IN (SELECT n FROM dup)
+            )
+            SELECT u.doc_id,
+                   coalesce(
+                     (SELECT string_agg(k.line, chr(10) ORDER BY k.pos)
+                      FROM kept k WHERE k.doc_id = u.doc_id), '') AS text
+            FROM uni u
+        """,
         "simhash_near_dups": docs_shingles.format(
             suffix="  ",
             threshold=0.9,

@@ -268,6 +268,57 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------- exact n-gram Jaccard
 
+def remove_duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4/RefinedWeb line rule): a
+    LINE whose trimmed form appears in >= ``min_docs`` DISTINCT documents
+    is removed from EVERY document; surviving lines keep their order.
+    Navigation chrome, cookie banners, and signature blocks repeat across
+    pages while real prose does not — this is the standard web-curation
+    pass after document-level dedup.
+
+    Scale shape: posexplode -> one hash-shuffle groupBy over the line text
+    for distinct-doc counts (map-side partial aggregation; cost ~ corpus
+    lines, the same order as exact dedup), an anti-join of lines against
+    the (small) over-threshold line set, and a per-doc
+    sort-and-reassemble. Documents whose every line is boilerplate
+    survive with empty text (rows are never dropped — that is
+    quality-filtering's job, not dedup's)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__norm", F.trim(F.col("__line")))
+    dup = (
+        lines.filter(F.col("__norm") != "")
+        .groupBy("__norm")
+        .agg(F.count_distinct(F.col(id_col)).alias("__n"))
+        .filter(F.col("__n") >= min_docs)
+        .select("__norm")
+    )
+    kept = lines.join(dup, on="__norm", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt, on=id_col, how="left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )
+
+
 def dedup_keep_best(
     df: DataFrame,
     components: DataFrame,

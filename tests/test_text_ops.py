@@ -418,3 +418,33 @@ def test_dedup_keep_best(spark):
         for r in dedup_keep_best(docs, comps, score_col="q").collect()
     }
     assert got == {2, 10, 99}
+
+
+def test_remove_duplicate_lines(spark):
+    """Line repeated across >= min_docs docs vanishes everywhere; unique
+    and intra-doc-repeated lines survive in order; all-boilerplate docs
+    keep their row with empty text."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        remove_duplicate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "real prose one\nAD: subscribe\nmore prose"),
+            (2, "different text\nAD: subscribe"),
+            (3, "AD: subscribe"),                     # all boilerplate
+            (4, "self\nself\nunique tail"),           # intra-doc repeat only
+            (5, "  AD: subscribe  \nkept line"),      # trim-normalized match
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_lines(docs, min_docs=2).collect()
+    }
+    assert got[1] == "real prose one\nmore prose"
+    assert got[2] == "different text"
+    assert got[3] == ""
+    assert got[4] == "self\nself\nunique tail"  # 1 doc < min_docs
+    assert got[5] == "kept line"
+    assert set(got) == {1, 2, 3, 4, 5}  # no rows dropped
