@@ -25,7 +25,7 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -90,6 +90,7 @@ class CdcPipeline:
         gc_keep_snapshots: Optional[int] = None,
         changelog: bool = False,
         changelog_keep: int = 64,
+        expected_columns: Sequence[str] = (),
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -111,9 +112,18 @@ class CdcPipeline:
         #: (explicit maintenance via SnapTable.expire_snapshots).
         self.gc_keep_snapshots = gc_keep_snapshots
         self.offsets_log = os.path.join(table_path, "_checkpoints", "offsets.jsonl")
+        # declared payload columns beyond the base schema (the Schema
+        # Registry pattern): when producers' extra keys are known upfront,
+        # declaring them here means the first epoch that carries them never
+        # takes the observe-abort-evolve-redo detour — its stage write
+        # commits first try. Auto-evolve still catches anything UNdeclared.
+        schema = SEQUENCES_SCHEMA
+        for c in expected_columns:
+            if c not in schema.fieldNames():
+                schema = schema.add(T.StructField(c, T.StringType(), True))
         if not self.table.exists():
             self.table.create(
-                SEQUENCES_SCHEMA,
+                schema,
                 key=key,
                 num_buckets=num_buckets,
                 # merge-on-read knobs (see SnapTable.merge): small epochs

@@ -361,3 +361,40 @@ def test_full_replay_parity_with_mor_deferral(spark, tmp_path, changes_path):
         f.get("kind") == "delta" for f in pipe.table.manifest()["files"]
     )
     assert table_state(pipe.table) == got
+
+
+def test_expected_columns_skip_drift_redo(spark, tmp_path):
+    """Declaring known payload columns upfront (the Schema Registry
+    pattern) must yield the identical final state as dynamic discovery,
+    with no evolve-abort on any epoch (evolved_columns stays empty)."""
+    path = str(tmp_path / "log")
+    write_changes(
+        spark,
+        ChangeGenConfig(
+            n_events=2_000, n_docs=60, batch_size=500, seed=5, p_extra_key=0.3
+        ),
+        path,
+    )
+    dyn = CdcPipeline(spark, path, str(tmp_path / "t_dyn"), num_buckets=4)
+    m_dyn = dyn.run()
+    evolved = sorted({c for m in m_dyn for c in m.evolved_columns})
+    assert evolved, "fixture must actually drift"
+
+    dec = CdcPipeline(
+        spark,
+        path,
+        str(tmp_path / "t_dec"),
+        num_buckets=4,
+        expected_columns=evolved,
+    )
+    m_dec = dec.run()
+    assert all(not m.evolved_columns for m in m_dec)  # no abort/redo ran
+    assert set(dec.table.schema().fieldNames()) == set(
+        dyn.table.schema().fieldNames()
+    )
+
+    def state(t):
+        cols = sorted(t.schema().fieldNames())
+        return sorted(map(repr, t.read().select(*cols).collect()))
+
+    assert state(dec.table) == state(dyn.table)
