@@ -57,7 +57,10 @@ def main():
 
     def spying_merge(self, *a, **kw):
         r = orig_merge(self, *a, **kw)
-        merge_results.append(r)
+        # keep only the COMMITTED merge per epoch: a drift-abort epoch
+        # calls merge twice, which would shift the epoch/result pairing
+        if not r.get("aborted"):
+            merge_results.append(r)
         return r
 
     st.SnapTable.merge = spying_merge
