@@ -605,7 +605,8 @@ def _streaming_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            raise RuntimeError("snaptable_changes availableNow query timed out")
         feed = spark.read.parquet(sink)
         lang = (
             F.col("lang")

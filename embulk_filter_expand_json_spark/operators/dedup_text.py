@@ -21,6 +21,8 @@ Embedding-cosine near-dup lives in operators/similarity.py.
 
 from __future__ import annotations
 
+import math
+import re
 from typing import Iterator, Optional
 
 import numpy as np
@@ -251,7 +253,17 @@ def minhash_lsh_pairs(
         )
 
     if verify == "exact":
-        prefilter = threshold - 0.45
+        # Estimate-based prefilter before the expensive shingle-array join.
+        # The margin must scale with the signature length: a true pair at
+        # exact Jaccard >= threshold fails `estimate >= threshold - m` with
+        # probability <= exp(-2 * num_hashes * m^2) (Hoeffding). The fixed
+        # 0.45 margin is only safe at >= 64 hashes (5e-12); at num_hashes=8
+        # it would silently drop ~4% of true pairs. Pick the smallest
+        # margin keeping the false-drop bound <= 1e-9 — for short
+        # signatures the margin exceeds the threshold and the prefilter
+        # disables itself (correctness over speed).
+        margin = max(0.45, math.sqrt(math.log(1e9) / (2.0 * num_hashes)))
+        prefilter = threshold - margin
         if prefilter > 0:
             cand = (
                 _estimated(cand)
@@ -289,9 +301,12 @@ def remove_duplicate_lines(
     sort-and-reassemble. Documents whose every line is boilerplate
     survive with empty text (rows are never dropped — that is
     quality-filtering's job, not dedup's)."""
+    # F.split takes a REGEX while array_join below takes a LITERAL: escape
+    # the separator so e.g. sep="." or "|" splits on the literal character
+    # and round-trips through reassembly unchanged
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias(
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
             "__pos", "__line"
         ),
     ).withColumn("__norm", F.trim(F.col("__line")))

@@ -39,6 +39,8 @@ from __future__ import annotations
 
 import json
 import re
+import threading
+from collections import OrderedDict
 from typing import Iterator, Mapping, Optional, Union
 
 import numpy as np
@@ -222,16 +224,28 @@ def _catalyst_cast(ext: Column, spec: ColumnSpec, session_tz: str) -> tuple:
     )
 
 
-#: unbound Column expressions per (plan, input-columns, tz) — rebuilding
-#: them is pure py4j round-trip cost (~0.2 s per call measured), which a
-#: per-epoch replay loop pays on every micro-batch for an identical plan.
-#: Columns are unresolved expressions, safely reusable across DataFrames.
-_CATALYST_EXPR_CACHE: dict = {}
+#: unbound Column expressions per (session, plan, input-columns, tz) —
+#: rebuilding them is pure py4j round-trip cost (~0.2 s per call measured),
+#: which a per-epoch replay loop pays on every micro-batch for an identical
+#: plan. Columns are unresolved expressions, safely reusable across
+#: DataFrames *of the same JVM*: the key carries the SparkContext identity
+#: so a gateway restart (or a second session) never dereferences dead
+#: py4j objects. OrderedDict LRU — evict the coldest entry, never the
+#: whole cache (a burst of ad-hoc plans must not flush the hot replay
+#: plan). A lock guards the move-to-end/evict pair.
+_CATALYST_EXPR_CACHE: "OrderedDict" = OrderedDict()
+_CATALYST_EXPR_CACHE_MAX = 64
+_CATALYST_EXPR_CACHE_LOCK = threading.Lock()
 
 
 def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFrame:
     session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    sc = df.sparkSession.sparkContext
+    jsc = getattr(sc, "_jsc", None)
     cache_key = (
+        # (gateway identity, JVM object id): both change on gateway restart
+        id(getattr(sc, "_gateway", None)),
+        getattr(jsc, "_target_id", None),
         plan.json_column_name,
         repr(plan.specs),
         plan.output_schema.json(),
@@ -241,7 +255,10 @@ def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFra
         tuple(df.columns),
         session_tz,
     )
-    cached = _CATALYST_EXPR_CACHE.get(cache_key)
+    with _CATALYST_EXPR_CACHE_LOCK:
+        cached = _CATALYST_EXPR_CACHE.get(cache_key)
+        if cached is not None:
+            _CATALYST_EXPR_CACHE.move_to_end(cache_key)
     if cached is not None:
         return _apply_catalyst_exprs(df, plan, cached)
     doc = F.col(plan.json_column_name)
@@ -317,9 +334,11 @@ def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFra
             out_cols.append(F.col(f.name))
 
     bundle = {"jt": jt, "err": err, "out_cols": out_cols}
-    if len(_CATALYST_EXPR_CACHE) > 64:
-        _CATALYST_EXPR_CACHE.clear()
-    _CATALYST_EXPR_CACHE[cache_key] = bundle
+    with _CATALYST_EXPR_CACHE_LOCK:
+        _CATALYST_EXPR_CACHE[cache_key] = bundle
+        _CATALYST_EXPR_CACHE.move_to_end(cache_key)
+        while len(_CATALYST_EXPR_CACHE) > _CATALYST_EXPR_CACHE_MAX:
+            _CATALYST_EXPR_CACHE.popitem(last=False)
     return _apply_catalyst_exprs(df, plan, bundle)
 
 

@@ -60,19 +60,24 @@ _META_FIELDS = [
 
 def _latest_manifest(table_path: str) -> dict:
     """Pure-filesystem manifest read (no SparkSession — the DataSource API
-    runs this in a plain Python worker)."""
-    log_dir = os.path.join(table_path, "_log")
-    if not os.path.isdir(log_dir):
-        raise FileNotFoundError(f"SnapTable at {table_path} does not exist")
+    runs this in a plain Python worker). Routed through the same TableFS
+    layer as SnapTable, so ``path`` may be a URI (s3://, hdfs://, ...)."""
+    import posixpath
+
+    from .fs import fs_for_path
+
+    fs, root = fs_for_path(table_path)
+    log_dir = posixpath.join(root, "_log")
     versions = sorted(
         int(n[1:-5])
-        for n in os.listdir(log_dir)
+        for n in fs.list_names(log_dir)
         if n.startswith("v") and n.endswith(".json")
     )
     if not versions:
         raise FileNotFoundError(f"SnapTable at {table_path} does not exist")
-    with open(os.path.join(log_dir, f"v{versions[-1]:08d}.json")) as f:
-        return json.load(f)
+    return json.loads(
+        fs.read_text(posixpath.join(log_dir, f"v{versions[-1]:08d}.json"))
+    )
 
 
 class _ChangeFilePartition(InputPartition):
@@ -88,6 +93,35 @@ class SnapTableChangesStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._path = options["path"]
         self._since: Optional[str] = options.get("since_version")
+        # Rate limit (Delta's maxFilesPerTrigger, by commit version): cap
+        # each micro-batch at this many manifest versions past the last
+        # planned offset, from the SECOND batch of this reader's lifetime
+        # onward. Batch 0 is uncapped BY NECESSITY, not oversight: Spark
+        # resolves latestOffset() BEFORE initialOffset() on a fresh start
+        # (verified empirically under both processingTime and the
+        # availableNow single-batch fallback), and the Python DataSource
+        # API exposes no SupportsAdmissionControl variant where
+        # latestOffset sees the start offset. Returning any value lower
+        # than the true latest on that first call could land BEHIND a
+        # restart checkpoint (which latestOffset cannot see), making Spark
+        # plan a regressed batch, commit a regressed offset, and replay
+        # already-sunk versions after the next crash. Uncapped-first /
+        # capped-thereafter is the only deadlock-free, replay-free policy
+        # this API admits; bound a fresh start's first batch with
+        # since_version. If/when pyspark exposes admission control, move
+        # the cap there.
+        mv = options.get("max_versions_per_batch")
+        self._max_versions: Optional[int] = int(mv) if mv is not None else None
+        # floor for the cap: last offset this reader has planned through.
+        # Seeded by initialOffset (fresh start) or partitions() (restart
+        # from checkpoint).
+        self._planned_through: Optional[int] = None
+
+    def _trace(self, msg: str) -> None:
+        p = os.environ.get("SNAPTABLE_FEED_TRACE")
+        if p:
+            with open(p, "a") as f:
+                f.write(f"[{id(self)}:pid{os.getpid()}] {msg}\n")
 
     # ------------------------------------------------------------- offsets
     def initialOffset(self) -> dict:
@@ -98,11 +132,19 @@ class SnapTableChangesStreamReader(DataSourceStreamReader):
                 "properties={'changelog': True}"
             )
         if self._since is not None:
-            return {"version": int(self._since)}
-        return {"version": int(man.get("changes_valid_from", 0))}
+            start = int(self._since)
+        else:
+            start = int(man.get("changes_valid_from", 0))
+        self._planned_through = start
+        self._trace(f"initialOffset -> {start}")
+        return {"version": start}
 
     def latestOffset(self) -> dict:
-        return {"version": int(_latest_manifest(self._path)["version"])}
+        latest = int(_latest_manifest(self._path)["version"])
+        if self._max_versions is not None and self._planned_through is not None:
+            latest = min(latest, self._planned_through + self._max_versions)
+        self._trace(f"latestOffset planned={self._planned_through} -> {latest}")
+        return {"version": latest}
 
     # ---------------------------------------------------------- partitions
     def partitions(self, start: dict, end: dict):
@@ -116,6 +158,10 @@ class SnapTableChangesStreamReader(DataSourceStreamReader):
                 "changelog_keep — restart this consumer from a full "
                 "snapshot read"
             )
+        self._planned_through = max(
+            self._planned_through or 0, int(end["version"])
+        )
+        self._trace(f"partitions {start}..{end}")
         parts = []
         for entry in man.get("changes", []):
             if not (since < entry["version"] <= int(end["version"])):
@@ -135,19 +181,36 @@ class SnapTableChangesStreamReader(DataSourceStreamReader):
     def read(self, partition: _ChangeFilePartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
 
+        # pyarrow resolves the filesystem from the path itself (local path
+        # or s3://, gs://, hdfs:// URI) — executors need no extra plumbing
         table = pq.read_table(partition.path)
         n = table.num_rows
-        table = table.append_column(
-            "_change_type", pa.array([partition.change_type] * n, pa.string())
-        )
-        table = table.append_column(
-            "_commit_version", pa.array([partition.version] * n, pa.int64())
-        )
-        table = table.append_column(
-            "_commit_epoch", pa.array([partition.epoch] * n, pa.int64())
-        )
-        yield from table.to_batches()
+        # Align every file to the DECLARED schema, exactly as the batch
+        # path's spark.read.schema(...) does: change files written before
+        # an evolve_add_columns carry fewer columns, and PySpark's
+        # records_to_arrow_batches rejects a column-count mismatch (and
+        # binds later batches positionally). Missing declared columns
+        # null-fill with the declared type; present columns cast and
+        # reorder into declared order; meta columns are partition consts.
+        meta_values = {
+            "_change_type": partition.change_type,
+            "_commit_version": partition.version,
+            "_commit_epoch": partition.epoch,
+        }
+        names, arrays = [], []
+        for field in self._schema.fields:
+            at = to_arrow_type(field.dataType)
+            if field.name in meta_values:
+                arr = pa.array([meta_values[field.name]] * n, at)
+            elif field.name in table.column_names:
+                arr = table.column(field.name).cast(at)
+            else:
+                arr = pa.nulls(n, at)
+            names.append(field.name)
+            arrays.append(arr)
+        yield from pa.Table.from_arrays(arrays, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
         # offsets are durable manifest versions; Spark's checkpoint owns
@@ -161,6 +224,11 @@ class SnapTableChangesBatchReader(DataSourceReader):
     DataSource front door, same partition/read kernels as the stream."""
 
     def __init__(self, schema: T.StructType, options: dict):
+        # the rate limit is a streaming concept — a batch read is one
+        # read of the whole requested window, never truncated
+        options = {
+            k: v for k, v in options.items() if k != "max_versions_per_batch"
+        }
         self._stream = SnapTableChangesStreamReader(schema, options)
 
     def partitions(self):
@@ -177,7 +245,14 @@ class SnapTableChangesDataSource(DataSource):
 
     Options: ``path`` (required, the SnapTable root);
     ``since_version`` (optional, start offset — default: the feed's
-    ``changes_valid_from``, i.e. everything retained)."""
+    ``changes_valid_from``, i.e. everything retained);
+    ``max_versions_per_batch`` (optional, streaming only — cap each
+    micro-batch at this many commit versions, Delta's
+    ``maxFilesPerTrigger`` analogue. The FIRST batch of each reader
+    lifetime is uncapped — the Python DataSource API gives
+    ``latestOffset`` no view of the start offset, so a lower first
+    offset could regress behind a restart checkpoint and replay data;
+    combine with ``since_version`` to bound a fresh start's batch 0)."""
 
     @classmethod
     def name(cls) -> str:

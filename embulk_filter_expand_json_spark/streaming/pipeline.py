@@ -111,7 +111,16 @@ class CdcPipeline:
         #: growth is O(epochs * table size). None = retain everything
         #: (explicit maintenance via SnapTable.expire_snapshots).
         self.gc_keep_snapshots = gc_keep_snapshots
-        self.offsets_log = os.path.join(table_path, "_checkpoints", "offsets.jsonl")
+        # lineage log rides the same TableFS as the table's manifests, so
+        # a URI table_path keeps the checkpoint next to the table. Object
+        # stores can't append — TableFS.append_text read-modify-writes
+        # there, fine for one short line per epoch.
+        from .fs import fs_for_path as _ffp
+
+        self._ckpt_fs, _meta_root = _ffp(table_path)
+        self.offsets_log = "/".join(
+            [_meta_root, "_checkpoints", "offsets.jsonl"]
+        )
         # declared payload columns beyond the base schema (the Schema
         # Registry pattern): when producers' extra keys are known upfront,
         # declaring them here means the first epoch that carries them never
@@ -147,9 +156,7 @@ class CdcPipeline:
         return self.table.manifest()["last_committed_epoch"]
 
     def _append_lineage(self, m: EpochMetrics) -> None:
-        os.makedirs(os.path.dirname(self.offsets_log), exist_ok=True)
-        with open(self.offsets_log, "a") as f:
-            f.write(m.to_json() + "\n")
+        self._ckpt_fs.append_text(self.offsets_log, m.to_json() + "\n")
 
     # ------------------------------------------------------------ expansion
     def _expand_config(self, extra_string_cols: List[str]) -> ExpandConfig:
@@ -303,13 +310,16 @@ class CdcPipeline:
             if detect_drift and self.auto_evolve:
                 # collect the unknown key NAMES, not just a flag: on the
                 # rare drift abort the evolve step then needs no separate
-                # key-scan job (when() nulls keep non-drifting rows out of
-                # the collect_list, so the aggregate stays drift-row-sized)
+                # key-scan job. collect_set, not collect_list: the common
+                # drift mode is a producer adding the same key to EVERY
+                # row, and identical key-arrays dedupe in the aggregation
+                # buffer — the observation stays key-set-sized, never
+                # epoch-row-sized (when() nulls keep non-drifting rows out)
                 unknown_arr = F.array_except(
                     F.json_object_keys("payload"), known_arr
                 )
                 in_aggs.append(
-                    F.collect_list(
+                    F.collect_set(
                         F.when(F.size(unknown_arr) > 0, unknown_arr)
                     ).alias("drift_keys")
                 )

@@ -48,12 +48,15 @@ from __future__ import annotations
 
 import json
 import os
+import posixpath
 import time
 import uuid
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
+
+from .fs import PublishConflict, TableFS, fs_for_path
 
 #: bucket counts up to this take one explicit shuffle partition per bucket
 #: in merge's writes (skips AQE's fixed ~0.2 s/job re-plan latency); larger
@@ -66,18 +69,39 @@ class CommitConflict(RuntimeError):
 
 
 class SnapTable:
-    def __init__(self, spark: SparkSession, path: str):
+    """``path`` may be a plain local path or a URI (``s3://``, ``hdfs://``,
+    ``file://``) — Spark jobs always see ``path`` verbatim (Hadoop's FS
+    layer resolves it), while every driver-side metadata operation
+    (manifest log, atomic publish, staged-file listings, GC) routes
+    through a :class:`~.fs.TableFS` resolved from the scheme. Pass
+    ``fs`` explicitly to force an implementation (tests drive the
+    object-store code path with ``ArrowFS`` over a local/mock
+    filesystem)."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, fs: Optional[TableFS] = None
+    ):
         self.spark = spark
         self.path = path
-        self.log_dir = os.path.join(path, "_log")
+        if fs is None:
+            self.fs, meta_root = fs_for_path(path)
+        else:
+            self.fs, meta_root = fs, path
+        # metadata-space roots (TableFS-internal form; POSIX-joined)
+        self.log_dir = posixpath.join(meta_root, "_log")
+        self.meta_data_dir = posixpath.join(meta_root, "data")
+        self._meta_root = meta_root
+        # Spark-space root for data reads/writes
         self.data_dir = os.path.join(path, "data")
 
     # ------------------------------------------------------------------ io
+    def _mpath(self, rel: str) -> str:
+        """Metadata-space path for a manifest-relative file entry."""
+        return posixpath.join(self._meta_root, rel)
+
     def _versions(self) -> List[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
         out = []
-        for name in os.listdir(self.log_dir):
+        for name in self.fs.list_names(self.log_dir):
             if name.startswith("v") and name.endswith(".json"):
                 out.append(int(name[1:-5]))
         return sorted(out)
@@ -94,35 +118,28 @@ class SnapTable:
             raise FileNotFoundError(
                 f"version {v} not in snapshot log (have {versions[0]}..{versions[-1]})"
             )
-        with open(os.path.join(self.log_dir, f"v{v:08d}.json")) as f:
-            return json.load(f)
+        return json.loads(
+            self.fs.read_text(posixpath.join(self.log_dir, f"v{v:08d}.json"))
+        )
 
     def _publish(self, man: dict) -> int:
-        """Atomic-rename commit of the next manifest version."""
+        """Atomic commit of the next manifest version (create-exclusive on
+        POSIX via os.link; write + token read-back on object stores — see
+        fs.py's module docstring for the protocol)."""
         import time as _time
 
-        os.makedirs(self.log_dir, exist_ok=True)
         man["committed_at"] = _time.time()
+        # writer-unique token: lets object-store publishers detect a lost
+        # commit race by read-back comparison (harmless on LocalFS)
+        man["commit_uuid"] = uuid.uuid4().hex
         version = man["version"]
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
-        final = os.path.join(self.log_dir, f"v{version:08d}.json")
-        with open(tmp, "w") as f:
-            json.dump(man, f)
+        final = posixpath.join(self.log_dir, f"v{version:08d}.json")
         try:
-            # os.link fails atomically with EEXIST if the version was already
-            # committed — no exists() pre-check TOCTOU window, so a racing
-            # writer loses loudly instead of silently clobbering the manifest
-            # (this is Iceberg's optimistic-concurrency commit primitive)
-            os.link(tmp, final)
-        except FileExistsError:
-            os.unlink(tmp)
+            self.fs.publish_atomic(json.dumps(man), final)
+        except PublishConflict:
             raise CommitConflict(
                 f"version {version} already committed at {final}"
             )
-        except OSError:
-            os.unlink(tmp)
-            raise
-        os.unlink(tmp)
         return version
 
     # --------------------------------------------------------------- schema
@@ -298,7 +315,7 @@ class SnapTable:
             if "bytes" in f:
                 return f["bytes"]
             try:
-                return os.path.getsize(os.path.join(self.path, f["path"]))
+                return self.fs.size(self._mpath(f["path"]))
             except OSError:
                 return 1 << 40  # unknown size: assume too big to broadcast
 
@@ -625,37 +642,32 @@ class SnapTable:
         _timings["stage_sec"] = round(time.time() - _phase_t, 3)
         _phase_t = time.time()
 
-        # touched buckets + staged files (with sizes) from the directory
-        # listing (a manifest-sized filesystem walk, no Spark job)
+        # touched buckets + staged files (with sizes) from ONE recursive
+        # listing (manifest-sized; a single paginated LIST per prefix on an
+        # object store instead of a request per directory level, and sizes
+        # ride the listing — no per-file stat round trips)
         staged: dict = {}  # bucket -> {False: [(rel, bytes)], True: [...]}
-        for name in sorted(os.listdir(stage_dir)):
-            if not name.startswith("__bucket="):
+        for rel_in_stage, nbytes in self.fs.list_files_recursive(
+            self._mpath(stage_rel)
+        ):
+            parts_path = rel_in_stage.split("/")
+            if not parts_path[0].startswith("__bucket="):
+                continue  # Spark's _SUCCESS marker etc.
+            b = int(parts_path[0].split("=", 1)[1])
+            staged.setdefault(b, {False: [], True: []})
+            if len(parts_path) < 2 or not parts_path[-1].endswith(".parquet"):
                 continue
-            b = int(name.split("=", 1)[1])
-            staged[b] = {False: [], True: []}
-            unexpected = [
-                s
-                for s in os.listdir(os.path.join(stage_dir, name))
-                if s.startswith("__is_delete=")
-                and s not in ("__is_delete=false", "__is_delete=true")
-            ]
-            if unexpected:
+            sub = parts_path[1]
+            if sub not in ("__is_delete=false", "__is_delete=true"):
                 raise ValueError(
-                    f"staged partition dirs {unexpected} in bucket {b}: the "
+                    f"staged partition dir {sub!r} in bucket {b}: the "
                     "delete flag must evaluate to true/false (never NULL) — "
-                    "registering them would silently drop rows"
+                    "registering it would silently drop rows"
                 )
-            for flag, sub in ((False, "false"), (True, "true")):
-                d = os.path.join(stage_dir, name, f"__is_delete={sub}")
-                if os.path.isdir(d):
-                    for part in sorted(os.listdir(d)):
-                        if part.endswith(".parquet"):
-                            rel = os.path.join(
-                                stage_rel, name, f"__is_delete={sub}", part
-                            )
-                            staged[b][flag].append(
-                                (rel, os.path.getsize(os.path.join(self.path, rel)))
-                            )
+            flag = sub == "__is_delete=true"
+            staged[b][flag].append(
+                (posixpath.join(stage_rel, rel_in_stage), nbytes)
+            )
         affected = sorted(staged)
 
         if pre_commit is not None and not pre_commit():
@@ -676,7 +688,7 @@ class SnapTable:
         def _bytes(entry: dict) -> int:
             if "bytes" in entry:
                 return entry["bytes"]
-            return os.path.getsize(os.path.join(self.path, entry["path"]))
+            return self.fs.size(self._mpath(entry["path"]))
 
         props = man.get("properties", {})
         mor_ratio = float(props.get("mor_rewrite_ratio", 0.2))
@@ -833,20 +845,18 @@ class SnapTable:
                 .partitionBy("__bucket")
                 .parquet(rw_dir)
             )
-            for name in sorted(os.listdir(rw_dir)):
-                if not name.startswith("__bucket="):
-                    continue
-                b = int(name.split("=", 1)[1])
-                bdir = os.path.join(rw_dir, name)
-                new_files.extend(
-                    {
-                        "path": os.path.join(rw_rel, name, part),
-                        "bucket": b,
-                        "bytes": os.path.getsize(os.path.join(bdir, part)),
-                    }
-                    for part in sorted(os.listdir(bdir))
-                    if part.endswith(".parquet")
+            new_files.extend(
+                {
+                    "path": posixpath.join(rw_rel, rel),
+                    "bucket": int(rel.split("/", 1)[0].split("=", 1)[1]),
+                    "bytes": nbytes,
+                }
+                for rel, nbytes in self.fs.list_files_recursive(
+                    self._mpath(rw_rel)
                 )
+                if rel.split("/", 1)[0].startswith("__bucket=")
+                and rel.endswith(".parquet")
+            )
 
         man["files"] = keep_files + new_files
         man["last_committed_epoch"] = epoch
@@ -913,18 +923,15 @@ class SnapTable:
         registered = {f["path"] for f in new_files}
         registered.update(f["path"] for f in change_files)
         for groups_by_flag in staged.values():
-            for fs in groups_by_flag.values():
-                for rel, _sz in fs:
+            for flagged in groups_by_flag.values():
+                for rel, _sz in flagged:
                     if rel not in registered:
-                        try:
-                            os.unlink(os.path.join(self.path, rel))
-                        except OSError:
-                            pass
+                        self.fs.delete(self._mpath(rel))
         # prune only THIS commit's directory tree — the one place the
         # cleanup above can create empty dirs. A full data_dir walk here
         # would cost O(total table files) of metadata I/O on EVERY epoch
         # of a replay (GC ops still do the full walk, where it belongs).
-        self._prune_empty_dirs(commit_dir)
+        self._prune_empty_dirs(self._mpath(commit_rel))
         _timings["publish_sec"] = round(time.time() - _phase_t, 3)
         return {
             "epoch": epoch,
@@ -967,17 +974,18 @@ class SnapTable:
             .partitionBy("__bucket")
             .parquet(commit_dir)
         )
-        new_files = []
-        for name in sorted(os.listdir(commit_dir)):
-            if not name.startswith("__bucket="):
-                continue
-            b = int(name.split("=", 1)[1])
-            bdir = os.path.join(commit_dir, name)
-            for part in sorted(os.listdir(bdir)):
-                if part.endswith(".parquet"):
-                    new_files.append(
-                        {"path": os.path.join(commit_rel, name, part), "bucket": b}
-                    )
+        new_files = [
+            {
+                "path": posixpath.join(commit_rel, rel),
+                "bucket": int(rel.split("/", 1)[0].split("=", 1)[1]),
+                "bytes": nbytes,
+            }
+            for rel, nbytes in self.fs.list_files_recursive(
+                self._mpath(commit_rel)
+            )
+            if rel.split("/", 1)[0].startswith("__bucket=")
+            and rel.endswith(".parquet")
+        ]
         old_count = len(man["files"])
         man["files"] = new_files
         man["version"] += 1
@@ -1015,13 +1023,13 @@ class SnapTable:
             for p in self._referenced_paths(self.manifest(v)):
                 if p in keep_paths:
                     continue
-                full = os.path.join(self.path, p)
-                if os.path.isfile(full):
-                    os.unlink(full)
+                full = self._mpath(p)
+                if self.fs.isfile(full):
+                    self.fs.delete(full)
                     removed += 1
                 keep_paths.add(p)  # shared across expired versions
         for v in expired:
-            os.unlink(os.path.join(self.log_dir, f"v{v:08d}.json"))
+            self.fs.delete(posixpath.join(self.log_dir, f"v{v:08d}.json"))
         self._prune_empty_dirs()
         return {"expired_versions": expired, "files_removed": removed}
 
@@ -1040,28 +1048,23 @@ class SnapTable:
             referenced.update(self._referenced_paths(self.manifest(v)))
         cutoff = _time.time() - older_than_sec
         removed = 0
-        for root, _dirs, names in os.walk(self.data_dir):
-            for name in names:
-                full = os.path.join(root, name)
-                rel = os.path.relpath(full, self.path)
-                if rel in referenced:
-                    continue
-                if os.path.getmtime(full) > cutoff:
-                    continue
-                os.unlink(full)
-                removed += 1
+        # one recursive stat-listing of the data tree (mtimes ride along)
+        for rel_in_data, mtime in self.fs.walk_stats(self.meta_data_dir):
+            rel = posixpath.join("data", rel_in_data)
+            if rel in referenced:
+                continue
+            if mtime > cutoff:
+                continue
+            self.fs.delete(self._mpath(rel))
+            removed += 1
         self._prune_empty_dirs()
         return {"files_removed": removed}
 
     def _prune_empty_dirs(self, under: Optional[str] = None) -> None:
         # bottom-up so a parent emptied by its children's removal is caught;
-        # ``under`` limits the walk to one commit's subtree (merge hot path)
-        top = under or self.data_dir
-        if not os.path.isdir(top):
-            return
-        for root, _dirs, _names in os.walk(top, topdown=False):
-            if root != self.data_dir and not os.listdir(root):
-                try:
-                    os.rmdir(root)
-                except OSError:
-                    pass
+        # ``under`` limits the walk to one commit's subtree (merge hot
+        # path). Metadata-space paths; a no-op on object stores, which
+        # have no empty directories to leave behind.
+        self.fs.prune_empty_dirs(
+            under or self.meta_data_dir, stop=self.meta_data_dir
+        )

@@ -48,7 +48,9 @@ def run_stream(spark, table_path, out_dir, ckpt, **options):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # a timed-out query would leave a PARTIAL sink and fail the assertion
+    # far from the cause — fail here instead
+    assert q.awaitTermination(300), "stream did not finish within 300 s"
 
 
 def rows_key(df):
@@ -156,3 +158,127 @@ def test_batch_read_matches_read_changes(spark, tmp_path):
         .load()
     )
     assert rows_key(tail) == rows_key(t.read_changes(v1))
+
+
+def test_stream_null_fills_pre_evolution_files(spark, tmp_path):
+    """ADVICE r4 (high): change files written BEFORE evolve_add_columns
+    have fewer columns than the latest manifest schema. The stream must
+    align every file to the declared schema (null-fill + reorder + cast),
+    mirroring the batch read_changes' spark.read.schema(...) null-fill —
+    not hard-fail with a column-count mismatch."""
+    from pyspark.sql import types as T
+
+    t = make_table(spark, tmp_path / "t")
+    t.merge(
+        delta(spark, [("a", [1], 1, "s", False), ("b", [2], 2, "s", False)]),
+        epoch=0,
+        delete_col="is_del",
+    )
+    # evolve mid-retention: old change files stay narrow on disk
+    assert t.evolve_add_columns([T.StructField("lang", T.StringType(), True)])
+    wide = spark.createDataFrame(
+        [("c", [3], 3, "s", "en", False)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "lang string, is_del boolean",
+    )
+    t.merge(wide, epoch=1, delete_col="is_del")
+
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    run_stream(spark, tmp_path / "t", out, ckpt)
+    got = spark.read.parquet(str(out))
+    # parity with the batch path over the same (evolved) window
+    assert rows_key(got.select(*t.read_changes(0).columns)) == rows_key(
+        t.read_changes(0)
+    )
+    by_doc = {r["doc_id"]: r for r in got.collect()}
+    assert by_doc["a"]["lang"] is None and by_doc["b"]["lang"] is None
+    assert by_doc["c"]["lang"] == "en"
+
+
+def test_stream_max_versions_per_batch(spark, tmp_path):
+    """The rate limit caps each micro-batch at N commit versions (Delta's
+    maxFilesPerTrigger analogue) from the SECOND batch of a reader's
+    lifetime onward. Batch 0 is necessarily uncapped: Spark resolves
+    ``latestOffset()`` BEFORE ``initialOffset()`` (verified empirically,
+    both triggers), and the Python DataSource API has no admission-control
+    variant that sees the start offset — returning anything lower on the
+    first call could land BEHIND a restart checkpoint, regressing the
+    offset log and replaying data into the sink. So the pin is: an
+    initial 2-commit backlog drains in one uncapped batch, then 3 new
+    commits drain one-version-per-batch; batch reads ignore the option."""
+    import json
+    import time
+
+    t = make_table(spark, tmp_path / "t")
+    for e in range(2):
+        t.merge(
+            delta(spark, [(f"k{e}", [e], e, "s", False)]),
+            epoch=e,
+            delete_col="is_del",
+        )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    spark.dataSource.register(SnapTableChangesDataSource)
+    q = (
+        spark.readStream.format("snaptable_changes")
+        .option("path", str(tmp_path / "t"))
+        .option("max_versions_per_batch", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+
+    def sink_count():
+        try:
+            return spark.read.parquet(str(out)).count()
+        except Exception:
+            return 0
+
+    def wait_rows(n, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if sink_count() >= n:
+                return
+            time.sleep(1)
+        raise AssertionError(f"sink never reached {n} rows")
+
+    try:
+        wait_rows(2)  # uncapped batch 0 drains the whole initial backlog
+        for e in range(2, 5):
+            t.merge(
+                delta(spark, [(f"k{e}", [e], e, "s", False)]),
+                epoch=e,
+                delete_col="is_del",
+            )
+        wait_rows(5)
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(str(out))
+    assert rows_key(got) == rows_key(t.read_changes(0))
+
+    # parse the checkpointed offset log: every batch past batch 0 may
+    # advance at most 1 commit version — the 3 catch-up commits cannot
+    # ride one micro-batch
+    offs = sorted(
+        int(n) for n in os.listdir(str(ckpt / "offsets")) if n.isdigit()
+    )
+    ends = []
+    for n in offs:
+        with open(str(ckpt / "offsets" / str(n))) as f:
+            ends.append(json.loads(f.read().splitlines()[-1])["version"])
+    assert len(ends) >= 4  # batch 0 + >=3 capped catch-up batches
+    deltas = [b - a for a, b in zip(ends, ends[1:])]
+    assert all(d <= 1 for d in deltas), (ends, deltas)
+    assert ends[0] >= 3  # batch 0 covered the whole 2-commit backlog
+
+    # the batch flavor must NOT truncate under the same option
+    full = (
+        spark.read.format("snaptable_changes")
+        .option("path", str(tmp_path / "t"))
+        .option("max_versions_per_batch", "1")
+        .load()
+    )
+    assert rows_key(full) == rows_key(t.read_changes(0))
