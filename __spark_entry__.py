@@ -1142,6 +1142,48 @@ def _training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation chain as one verified plan: quality gate ->
+    MinHash/LSH near-dup pairs -> connected components -> keep the
+    highest-quality member per cluster -> per-doc token/lang stats.
+    Composition rules that keep it one-pass at scale: the quality score
+    is computed ONCE (it feeds both the gate and the keep-best argmax),
+    the gated corpus is materialized ONCE (localCheckpoint) so the pair
+    miner's shingling and the final anti-join read the same cached rows
+    instead of re-running the scan+filter, and pair mining happens on
+    the GATED corpus (never shingle docs the gate already dropped).
+    Oracle: same SQL quality formula + kept-restricted exact-Jaccard
+    pairs + recursive-CTE closure + per-component argmax + stats."""
+    from embulk_filter_expand_json_spark.functions.text import (
+        bpe_ish_token_count,
+        lang_id,
+        quality_score,
+        whitespace_token_count,
+    )
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        dedup_keep_best,
+        minhash_lsh_pairs,
+        neardup_components,
+    )
+
+    docs = _docs_with_planted_near_dups(spark, sf_dir).withColumn(
+        "qscore", quality_score(F.col("text"))
+    )
+    kept = docs.filter(F.col("qscore") >= 0.5).localCheckpoint()
+    pairs = minhash_lsh_pairs(
+        kept, num_hashes=64, bands=16, threshold=0.8, verify="exact"
+    )
+    comps = neardup_components(pairs)
+    surv = dedup_keep_best(kept, comps, score_col="qscore")
+    t = F.col("text")
+    return surv.select(
+        "doc_id",
+        whitespace_token_count(t).alias("ws_tokens"),
+        bpe_ish_token_count(t).alias("bpe_tokens"),
+        lang_id(t).alias("lang_pred"),
+    )
+
+
 def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k through the IVF lifecycle (the second scale path next to
     knn_lsh): build_ivf_index trains sample k-means centroids and writes a
@@ -1524,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "sessionize_chunked": _sessionize_chunked,
         "training_pipeline_docs": _training_pipeline_docs,
+        "curation_neardup_pipeline": _curation_neardup_pipeline,
         "hash_split_docs": _hash_split_docs,
         "token_quantiles_by_lang": _token_quantiles_by_lang,
         "streaming_windowed_agg": _streaming_windowed_agg,
@@ -1718,6 +1761,88 @@ def oracle_sql() -> dict[str, str]:
             )
             """
         ),
+        "curation_neardup_pipeline": """
+            WITH RECURSIVE uni AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text
+              FROM documents WHERE doc_id % 50 = 0
+            ), q AS (
+              SELECT doc_id, text,
+                     round((least(length(text) / 500.0, 1.0)
+                            + (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                                ELSE len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                                     / length(text) END * 4.0, 1.0))
+                            + least(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+                                ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                    w -> w IN ('the','and','of','to','in')))::DOUBLE
+                                     / len(regexp_split_to_array(lower(trim(text)), '\\s+')) END * 5.0, 1.0)
+                           ) / 3.0, 6) AS qscore
+              FROM uni
+            ), kept AS (
+              SELECT doc_id, text, qscore FROM q WHERE qscore >= 0.5
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       list_transform(generate_series(1, length(norm) - 4),
+                                      i -> norm[i:i+4])) AS s
+              FROM (SELECT doc_id,
+                           lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+                    FROM kept)
+            ), pairs AS MATERIALIZED (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b
+                ON a.doc_id < b.doc_id
+               AND least(len(a.s), len(b.s))::DOUBLE
+                   >= 0.8 * greatest(len(a.s), len(b.s))
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(node, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            ), comp AS (
+              SELECT node, min(label) AS component FROM reach GROUP BY node
+            ), reps AS (
+              SELECT node FROM (
+                SELECT c.node,
+                       row_number() OVER (PARTITION BY c.component
+                                          ORDER BY k.qscore DESC, c.node) AS rn
+                FROM comp c JOIN kept k ON k.doc_id = c.node
+              ) WHERE rn = 1
+            ), surv AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+              FROM kept
+              WHERE doc_id NOT IN (
+                SELECT node FROM comp
+                WHERE node NOT IN (SELECT node FROM reps)
+              )
+            ), h AS (
+              SELECT doc_id, text,
+                len(list_filter(words, x -> x IN ('the','and','of','to','in'))) AS h_en,
+                len(list_filter(words, x -> x IN ('der','die','und','nicht','das'))) AS h_de,
+                len(list_filter(words, x -> x IN ('le','la','et','les','des'))) AS h_fr,
+                len(list_filter(words, x -> x IN ('el','la','que','de','los'))) AS h_es
+              FROM surv
+            )
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                       AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+                       AS bpe_tokens,
+                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM h
+        """,
         "docs_line_dedup": """
             WITH uni AS (
               SELECT doc_id,
