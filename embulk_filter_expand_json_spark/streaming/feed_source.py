@@ -112,6 +112,13 @@ class SnapTableChangesStreamReader(DataSourceStreamReader):
         # the cap there.
         mv = options.get("max_versions_per_batch")
         self._max_versions: Optional[int] = int(mv) if mv is not None else None
+        # byte-based cap (Delta's maxBytesPerTrigger): admit whole commit
+        # versions until their change files' cumulative bytes (sizes ride
+        # the manifest — no stat calls) would exceed the cap; always at
+        # least one version so the stream advances. Same first-batch
+        # exemption as the version cap, same reason.
+        mb = options.get("max_bytes_per_batch")
+        self._max_bytes: Optional[int] = int(mb) if mb is not None else None
         # floor for the cap: last offset this reader has planned through.
         # Seeded by initialOffset (fresh start) or partitions() (restart
         # from checkpoint).
@@ -140,9 +147,35 @@ class SnapTableChangesStreamReader(DataSourceStreamReader):
         return {"version": start}
 
     def latestOffset(self) -> dict:
-        latest = int(_latest_manifest(self._path)["version"])
-        if self._max_versions is not None and self._planned_through is not None:
-            latest = min(latest, self._planned_through + self._max_versions)
+        man = _latest_manifest(self._path)
+        latest = int(man["version"])
+        if self._planned_through is not None:
+            if self._max_versions is not None:
+                latest = min(
+                    latest, self._planned_through + self._max_versions
+                )
+            if self._max_bytes is not None:
+                admitted, budget = self._planned_through, self._max_bytes
+                saw_entry = False
+                for entry in man.get("changes", []):
+                    v = int(entry["version"])
+                    if v <= self._planned_through or v > latest:
+                        continue
+                    saw_entry = True
+                    budget -= sum(
+                        int(f.get("bytes", 0)) for f in entry["files"]
+                    )
+                    if budget < 0 and admitted > self._planned_through:
+                        break  # cap hit — but always admit >=1 version
+                    admitted = v
+                    if budget < 0:
+                        break
+                # versions with no change entry (evolve/compact commits)
+                # carry zero change bytes: if none of the pending versions
+                # has an entry, don't cap — capping to `admitted` would
+                # wedge the stream below a metadata-only commit forever
+                if saw_entry:
+                    latest = min(latest, admitted)
         self._trace(f"latestOffset planned={self._planned_through} -> {latest}")
         return {"version": latest}
 
@@ -224,10 +257,12 @@ class SnapTableChangesBatchReader(DataSourceReader):
     DataSource front door, same partition/read kernels as the stream."""
 
     def __init__(self, schema: T.StructType, options: dict):
-        # the rate limit is a streaming concept — a batch read is one
+        # the rate limits are a streaming concept — a batch read is one
         # read of the whole requested window, never truncated
         options = {
-            k: v for k, v in options.items() if k != "max_versions_per_batch"
+            k: v
+            for k, v in options.items()
+            if k not in ("max_versions_per_batch", "max_bytes_per_batch")
         }
         self._stream = SnapTableChangesStreamReader(schema, options)
 
@@ -248,11 +283,16 @@ class SnapTableChangesDataSource(DataSource):
     ``changes_valid_from``, i.e. everything retained);
     ``max_versions_per_batch`` (optional, streaming only — cap each
     micro-batch at this many commit versions, Delta's
-    ``maxFilesPerTrigger`` analogue. The FIRST batch of each reader
-    lifetime is uncapped — the Python DataSource API gives
+    ``maxFilesPerTrigger`` analogue);
+    ``max_bytes_per_batch`` (optional, streaming only — admit whole
+    commit versions until their change files' cumulative bytes would
+    exceed this, Delta's ``maxBytesPerTrigger``; at least one version
+    per batch so the stream always advances; sizes come from the
+    manifest, no stat calls). For both caps the FIRST batch of each
+    reader lifetime is uncapped — the Python DataSource API gives
     ``latestOffset`` no view of the start offset, so a lower first
     offset could regress behind a restart checkpoint and replay data;
-    combine with ``since_version`` to bound a fresh start's batch 0)."""
+    combine with ``since_version`` to bound a fresh start's batch 0."""
 
     @classmethod
     def name(cls) -> str:

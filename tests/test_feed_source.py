@@ -282,3 +282,95 @@ def test_stream_max_versions_per_batch(spark, tmp_path):
         .load()
     )
     assert rows_key(full) == rows_key(t.read_changes(0))
+
+
+def test_stream_max_bytes_per_batch(spark, tmp_path):
+    """Byte-based admission (Delta's maxBytesPerTrigger): a 1-byte budget
+    admits exactly one commit version per batch past batch 0, and a
+    mid-stream evolve commit (a version with NO change entry, hence zero
+    change bytes) must not wedge the cap. Batch reads ignore the option."""
+    import json
+    import time
+
+    from pyspark.sql import types as T
+
+    t = make_table(spark, tmp_path / "t")
+    t.merge(
+        delta(spark, [("k0", [0], 0, "s", False)]), epoch=0,
+        delete_col="is_del",
+    )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    spark.dataSource.register(SnapTableChangesDataSource)
+    q = (
+        spark.readStream.format("snaptable_changes")
+        .option("path", str(tmp_path / "t"))
+        .option("max_bytes_per_batch", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+
+    def sink_count():
+        try:
+            return spark.read.parquet(str(out)).count()
+        except Exception:
+            return 0
+
+    def wait_rows(n, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if sink_count() >= n:
+                return
+            time.sleep(1)
+        raise AssertionError(f"sink never reached {n} rows")
+
+    try:
+        wait_rows(1)  # batch 0 drains the initial commit
+        t.merge(
+            delta(spark, [("k1", [1], 1, "s", False)]), epoch=1,
+            delete_col="is_del",
+        )
+        # metadata-only commit: no change entry, zero change bytes —
+        # the byte cap must step over it instead of wedging below it
+        assert t.evolve_add_columns(
+            [T.StructField("lang", T.StringType(), True)]
+        )
+        t.merge(
+            spark.createDataFrame(
+                [("k2", [2], 2, "s", "en", False)],
+                "doc_id string, tokens array<int>, n_tok int, "
+                "source string, lang string, is_del boolean",
+            ),
+            epoch=2,
+            delete_col="is_del",
+        )
+        wait_rows(3)
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(str(out))
+    assert rows_key(got) == rows_key(t.read_changes(0))
+
+    # every post-0 batch with data admitted exactly one commit version
+    offs = sorted(
+        int(n) for n in os.listdir(str(ckpt / "offsets")) if n.isdigit()
+    )
+    ends = []
+    for n in offs:
+        with open(str(ckpt / "offsets" / str(n))) as f:
+            ends.append(json.loads(f.read().splitlines()[-1])["version"])
+    # the two catch-up merges (k1, k2) cannot ride one micro-batch: some
+    # batch boundary must fall strictly between their commit versions
+    v_k1 = 3  # create=1, merge k0=2, merge k1=3, evolve=4, merge k2=5
+    assert any(v_k1 <= e < 5 for e in ends[1:]), ends
+
+    full = (
+        spark.read.format("snaptable_changes")
+        .option("path", str(tmp_path / "t"))
+        .option("max_bytes_per_batch", "1")
+        .load()
+    )
+    assert rows_key(full) == rows_key(t.read_changes(0))
