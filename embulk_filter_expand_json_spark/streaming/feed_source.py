@@ -35,6 +35,17 @@ dedupe by batch id (e.g. CdcPipeline.apply_micro_batch in foreachBatch).
 The reference (embulk-filter-expand_json) is a per-page batch filter with
 no notion of a table or a stream; this module belongs to the engine layer
 the north_rule adds.
+
+**Why there is no matching ``writeStream.format("snaptable")`` sink:**
+the Python DataSource API runs ``DataSourceStreamWriter.commit(messages,
+batchId)`` in a detached Python worker (PythonStreamingSinkCommitRunner)
+with NO SparkSession, so a sink commit could only do metadata work — it
+could not run the LWW dedup / bucket-stage / MERGE jobs that give
+SnapTable its exactly-once semantics, and a file-registering append
+writer would silently break the table's bucket invariants. The write
+path is therefore ``foreachBatch`` + ``CdcPipeline.apply_micro_batch``
+(epoch = batchId gives idempotent exactly-once MERGE), which is the
+pattern Delta itself prescribes for merge-into-from-a-stream.
 """
 
 from __future__ import annotations
