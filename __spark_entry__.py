@@ -1110,6 +1110,94 @@ def _token_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic PII suffix planted on every 7th document so the redaction
+#: query exercises every rule on real fixture rows (the synthetic corpus has
+#: no organic PII); the oracle plants the identical suffix.
+_PII_SUFFIX = (
+    "@example.com or +1-555-0134 from 10.2.3.4 card 4111111111111111"
+)
+
+
+def _pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents: sequential regexp_replace chain (email
+    -> phone -> card -> ipv4) plus per-kind counts measured on the
+    sequentially redacted stream. Pure Catalyst — zero shuffle, rides the
+    scan. Counts cast to long for oracle schema parity (DuckDB len() is
+    BIGINT)."""
+    from embulk_filter_expand_json_spark.operators.curation import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit(_PII_SUFFIX),
+        ),
+    ).otherwise(F.col("text"))
+    out = docs.select("doc_id", redact_pii(t).alias("clean_text"), *pii_counts(t))
+    for c in ("n_email", "n_phone", "n_card", "n_ipv4"):
+        out = out.withColumn(c, F.col(c).cast("long"))
+    return out
+
+
+def _decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train-split docs sharing any word
+    5-gram with the test split (GPT-3/PaLM-style n-gram overlap rule). The
+    test side's distinct gram set is broadcast; the train side never
+    shuffles — the only exchange is the distinct over contaminated ids.
+    Planted exact-dup clones in the fixture straddle the split boundary, so
+    the hit set is non-trivially non-empty."""
+    from embulk_filter_expand_json_spark.operators.curation import decontaminate
+    from embulk_filter_expand_json_spark.operators.split import hash_split
+
+    labeled = hash_split(_documents(spark, sf_dir).select("doc_id", "text"))
+    corpus = labeled.filter(F.col("split") == "train").drop("split")
+    bench = labeled.filter(F.col("split") == "test").drop("split")
+    return decontaminate(corpus, bench, n=5).select("doc_id", "contaminated")
+
+
+def _mix_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sample: per-source keep rates (the data-mixture /
+    domain-reweighting step), md5-deterministic so membership is
+    partitioning- and engine-independent. Zero shuffle — filter on the
+    scan."""
+    from embulk_filter_expand_json_spark.operators.curation import mix_sample
+
+    rates = {"src0": 1.0, "src1": 0.25, "src2": 0.5, "src3": 0.75}
+    return mix_sample(
+        _documents(spark, sf_dir),
+        rates,
+        stratum_col="source",
+        salt="mix42",
+        default_rate=0.1,
+    )
+
+
+def _pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: greedy fill of 256-token training
+    sequences within 8 md5 buckets (the per-output-shard packing a training
+    pipeline runs before tokenization). The serial scan is per-bucket
+    (applyInPandas group); the oracle replays the same greedy recurrence as
+    a recursive CTE."""
+    from embulk_filter_expand_json_spark.functions.text import (
+        whitespace_token_count,
+    )
+    from embulk_filter_expand_json_spark.operators.curation import pack_sequences
+
+    toks = _documents(spark, sf_dir).select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return pack_sequences(
+        toks, budget=256, token_col="n_tok", n_buckets=8, salt="pack42"
+    )
+
+
 def _training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pass — the operators composed the way a real
     training-data pipeline chains them: quality gate -> exact dedup (min-id
@@ -1569,6 +1657,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_neardup_pipeline": _curation_neardup_pipeline,
         "hash_split_docs": _hash_split_docs,
         "token_quantiles_by_lang": _token_quantiles_by_lang,
+        "pii_redaction": _pii_redaction,
+        "decontaminate_docs": _decontaminate_docs,
+        "mix_sample_docs": _mix_sample_docs,
+        "pack_docs": _pack_docs,
         "streaming_windowed_agg": _streaming_windowed_agg,
         "streaming_sessionize": _streaming_sessionize,
         "stateful_transitions": _stateful_transitions,
@@ -1973,6 +2065,122 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) % 1000000 AS b
               FROM documents
             )
+        """,
+        # the four curation operators (operators/curation.py): PII chain,
+        # 5-gram decontamination vs the test split, per-source mixing
+        # sample, greedy token packing (recursive CTE replays the same
+        # data-dependent recurrence the applyInPandas kernel runs)
+        "pii_redaction": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' contact u' || doc_id::VARCHAR ||
+                               '@example.com or +1-555-0134 from 10.2.3.4 card 4111111111111111'
+                          ELSE text END AS t
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+              FROM p
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t,
+                       '\+\d{1,3}-\d{3}-\d{3,4}(-\d{3,4})?')) AS n_phone,
+                     regexp_replace(t,
+                       '\+\d{1,3}-\d{3}-\d{3,4}(-\d{3,4})?',
+                       '<PHONE>', 'g') AS t
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_email, n_phone,
+                     len(regexp_extract_all(t, '\b\d{13,19}\b')) AS n_card,
+                     regexp_replace(t, '\b\d{13,19}\b', '<CARD>', 'g') AS t
+              FROM s2
+            ), s4 AS (
+              SELECT doc_id, n_email, n_phone, n_card,
+                     len(regexp_extract_all(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                     regexp_replace(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS t
+              FROM s3
+            )
+            SELECT doc_id, t AS clean_text, n_email, n_phone, n_card, n_ipv4
+            FROM s4
+        """,
+        "decontaminate_docs": r"""
+            WITH lab AS (
+              SELECT doc_id, text,
+                     CAST(('0x' || substring(
+                        md5('split42:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+                        AS BIGINT) % 1000000 AS b
+              FROM documents
+            ), corpus AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM lab WHERE b < 800000
+            ), bench AS (
+              SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM lab WHERE b >= 900000
+            ), bi AS (
+              SELECT ws, unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS i
+              FROM bench
+            ), bg AS (
+              SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS gram FROM bi
+            ), ci AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS i
+              FROM corpus
+            ), hits AS (
+              SELECT DISTINCT doc_id FROM ci
+              WHERE array_to_string(ws[i:i+4], ' ') IN (SELECT gram FROM bg)
+            )
+            SELECT c.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM corpus c LEFT JOIN hits h USING (doc_id)
+        """,
+        "mix_sample_docs": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            WHERE CAST(('0x' || substring(
+                     md5('mix42:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+                     AS BIGINT) % 1000000
+                  < CASE source WHEN 'src0' THEN 1000000
+                                WHEN 'src1' THEN 250000
+                                WHEN 'src2' THEN 500000
+                                WHEN 'src3' THEN 750000
+                                ELSE 100000 END
+        """,
+        "pack_docs": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END::BIGINT AS n_tok,
+                     CAST(('0x' || substring(
+                        md5('pack42:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+                        AS BIGINT) % 1000000 % 8 AS bucket
+              FROM documents
+            ), d AS (
+              SELECT bucket, doc_id, n_tok,
+                     row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                       AS rn
+              FROM t
+            ), p AS (
+              SELECT bucket, doc_id, n_tok, rn,
+                     0::BIGINT AS seq_id, n_tok AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.bucket, d.doc_id, d.n_tok, d.rn,
+                     CASE WHEN p.fill > 0 AND p.fill + d.n_tok > 256
+                          THEN p.seq_id + 1 ELSE p.seq_id END,
+                     CASE WHEN p.fill > 0 AND p.fill + d.n_tok > 256
+                          THEN d.n_tok ELSE p.fill + d.n_tok END
+              FROM p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+            )
+            SELECT bucket, doc_id, n_tok, seq_id FROM p
         """,
         "token_quantiles_by_lang": """
             WITH w AS (

@@ -1,0 +1,201 @@
+"""Curation-operator tests: PII redaction, decontamination, mixing sample,
+sequence packing — exact expected outputs, python/duckdb cross-checks, and
+partitioning-invariance (the determinism the oracle contract relies on)."""
+
+import hashlib
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from embulk_filter_expand_json_spark.operators.curation import (
+    DEFAULT_PII_RULES,
+    decontaminate,
+    mix_sample,
+    pack_sequences,
+    pii_counts,
+    redact_pii,
+)
+
+PII_CASES = [
+    # (raw, redacted, (n_email, n_phone, n_card, n_ipv4))
+    (
+        "mail me at jane.doe+spam@example.co.uk today",
+        "mail me at <EMAIL> today",
+        (1, 0, 0, 0),
+    ),
+    (
+        "call +1-555-0134 or +44-020-7946-0958 now",
+        "call <PHONE> or <PHONE> now",
+        (0, 2, 0, 0),
+    ),
+    (
+        "card 4111111111111111 exp 12/26",
+        "card <CARD> exp 12/26",
+        (0, 0, 1, 0),
+    ),
+    ("host 10.1.2.3 and 192.168.0.255", "host <IP> and <IP>", (0, 0, 0, 2)),
+    # email digits must NOT be eaten by the card rule (order contract)
+    (
+        "a12345678901234b@x.io 1234567890123",
+        "<EMAIL> <CARD>",
+        (1, 0, 1, 0),
+    ),
+    ("no pii here at all", "no pii here at all", (0, 0, 0, 0)),
+]
+
+
+def test_redact_pii_exact(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _, _) in enumerate(PII_CASES)], "i long, t string"
+    )
+    got = (
+        df.select("i", redact_pii(F.col("t")).alias("r"), *pii_counts(F.col("t")))
+        .orderBy("i")
+        .collect()
+    )
+    for row, (_, want_red, want_counts) in zip(got, PII_CASES):
+        assert row["r"] == want_red
+        assert (
+            row["n_email"],
+            row["n_phone"],
+            row["n_card"],
+            row["n_ipv4"],
+        ) == want_counts
+
+
+def test_redact_pii_duckdb_parity(spark):
+    """The same regex chain must behave identically under RE2 (DuckDB) —
+    the property the contract oracle depends on."""
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _, _) in enumerate(PII_CASES)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", redact_pii(F.col("t")).alias("r")).collect()
+    }
+    con = duckdb.connect()
+    expr = "t"
+    for _, pattern, repl in DEFAULT_PII_RULES:
+        sql_pat = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    for i, (raw, _, _) in enumerate(PII_CASES):
+        (duck,) = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS t)", [raw]
+        ).fetchone()
+        assert duck == got[i], f"case {i}: duckdb={duck!r} spark={got[i]!r}"
+
+
+def test_decontaminate(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta"),  # contains bench 5-gram
+            (1, "one two three four five six seven eight"),  # clean
+            (2, "tiny doc"),  # <5 words, whole-text matches bench doc 12
+            (3, "unrelated words entirely distinct tokens here"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (10, "prefix alpha beta gamma delta epsilon suffix"),
+            (12, "padding tiny doc padding extra words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(corpus, bench, n=5).collect()
+    }
+    # doc 0 shares the 5-gram 'alpha beta gamma delta epsilon'; doc 2 has
+    # <5 words so its whole text 'tiny doc' must match bench 12's
+    # 'tiny doc' 2-of-5-gram... no: bench grams are 5-grams of bench docs,
+    # and 'tiny doc' is not a 5-gram of doc 12 -> doc 2 stays clean.
+    assert got == {0: True, 1: False, 2: False, 3: False}
+    # short BENCH doc (<5 words) contributes its whole text as one gram,
+    # which a short corpus doc can then match whole-for-whole
+    bench_short = spark.createDataFrame([(13, "tiny doc")], "doc_id long, text string")
+    got2 = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(corpus, bench_short, n=5).collect()
+    }
+    assert got2 == {0: False, 1: False, 2: True, 3: False}
+
+
+def _bucket(salt: str, key) -> int:
+    h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8]
+    return int(h, 16) % 1_000_000
+
+
+def test_mix_sample(spark):
+    rows = [(i, f"src{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"src0": 1.0, "src1": 0.0, "src2": 0.5}
+    kept = {
+        r["doc_id"]
+        for r in mix_sample(df, rates, salt="mixT").select("doc_id").collect()
+    }
+    want = {
+        i
+        for i, src in rows
+        if _bucket("mixT", i) < int(rates[src] * 1_000_000)
+    }
+    assert kept == want
+    assert all(i in kept for i, s in rows if s == "src0")
+    assert not any(i in kept for i, s in rows if s == "src1")
+    # default_rate drops unknown strata
+    kept2 = mix_sample(df, {"src0": 1.0}, salt="mixT").select("source").distinct()
+    assert [r["source"] for r in kept2.collect()] == ["src0"]
+    # partitioning-invariant
+    kept3 = {
+        r["doc_id"]
+        for r in mix_sample(df.repartition(7), rates, salt="mixT")
+        .select("doc_id")
+        .collect()
+    }
+    assert kept3 == kept
+
+
+def _pack_reference(rows, budget, salt, n_buckets):
+    """Pure-python greedy packer over the same md5 buckets."""
+    by_bucket = {}
+    for doc_id, tok in rows:
+        by_bucket.setdefault(_bucket(salt, doc_id) % n_buckets, []).append(
+            (doc_id, tok)
+        )
+    out = {}
+    for b, docs in by_bucket.items():
+        seq = fill = 0
+        for doc_id, tok in sorted(docs):
+            if fill > 0 and fill + tok > budget:
+                seq += 1
+                fill = 0
+            fill += tok
+            out[doc_id] = (b, seq)
+    return out
+
+
+def test_pack_sequences(spark):
+    # include an over-budget doc (300) and a zero-token doc
+    rows = [(i, [40, 100, 0, 300, 77, 128, 256, 13][i % 8]) for i in range(160)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = pack_sequences(
+        df, budget=256, token_col="n_tok", n_buckets=4, salt="packT"
+    ).collect()
+    want = _pack_reference(rows, 256, "packT", 4)
+    assert len(got) == len(rows)  # nothing dropped or duplicated
+    for r in got:
+        assert (r["bucket"], r["seq_id"]) == want[r["doc_id"]], r["doc_id"]
+    # per-sequence invariant: fill <= budget unless a single over-budget doc
+    fills = {}
+    for r in got:
+        fills.setdefault((r["bucket"], r["seq_id"]), []).append(r["n_tok"])
+    for toks in fills.values():
+        assert sum(toks) <= 256 or len([t for t in toks if t > 0]) == 1
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0, token_col="n_tok")
