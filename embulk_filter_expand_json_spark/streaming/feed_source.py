@@ -27,6 +27,14 @@ one-row-per-key-per-commit contract; same retention failure mode):
 - **Falling past retention fails loudly** (same ValueError contract as
   read_changes): a consumer that slept past ``changelog_keep`` commits
   must restart from a snapshot read, exactly Delta's CDF contract.
+- **Mid-stream schema evolution fails loudly.** Files OLDER than the
+  stream's declared schema null-fill (a stream started after an
+  ``evolve_add_columns`` reads the whole retained window seamlessly),
+  but a file carrying columns the running stream has never declared
+  (the table evolved underneath it) raises with restart guidance rather
+  than silently dropping the new column — a restart on the same
+  checkpoint picks up the evolved schema and replays the failed batch
+  from its WAL offset (Delta's additive-evolution streaming contract).
 
 Exactly-once composes with Spark's own streaming checkpoint: offsets are
 versions, the engine replays (start, end] deterministically, and sinks
@@ -231,6 +239,28 @@ class SnapTableChangesStreamReader(DataSourceStreamReader):
         # or s3://, gs://, hdfs:// URI) — executors need no extra plumbing
         table = pq.read_table(partition.path)
         n = table.num_rows
+        # A change file carrying columns BEYOND the declared schema means
+        # the table evolved after this stream resolved its schema. Spark
+        # cannot widen a running stream's schema, and silently projecting
+        # the new column away would be data loss in a CDC feed — so fail
+        # loudly with restart guidance instead (Delta's additive-evolution
+        # streaming contract). The restart is checkpoint-safe: offsets are
+        # manifest versions, the new reader declares the evolved schema,
+        # and the replayed batch null-fills pre-evolution files. The batch
+        # reader shares this kernel but always declares the LATEST schema,
+        # a superset of every retained file under additive-only evolution,
+        # so only a live stream can trip this.
+        declared = {f.name for f in self._schema.fields}
+        widened = [c for c in table.column_names if c not in declared]
+        if widened:
+            raise ValueError(
+                f"change file {partition.path} carries columns {widened} "
+                "not in this stream's declared schema: the table evolved "
+                "after the stream started. Restart the stream on the same "
+                "checkpoint to pick up the evolved schema (offsets are "
+                "commit versions; the restart resumes exactly where this "
+                "batch began)."
+            )
         # Align every file to the DECLARED schema, exactly as the batch
         # path's spark.read.schema(...) does: change files written before
         # an evolve_add_columns carry fewer columns, and PySpark's

@@ -126,7 +126,11 @@ class CdcPipeline:
         # declaring them here means the first epoch that carries them never
         # takes the observe-abort-evolve-redo detour — its stage write
         # commits first try. Auto-evolve still catches anything UNdeclared.
-        schema = SEQUENCES_SCHEMA
+        # copy before add(): StructType.add MUTATES the receiver (and
+        # returns it), so extending the module-global SEQUENCES_SCHEMA in
+        # place would leak declared columns into every later pipeline in
+        # the process
+        schema = T.StructType(list(SEQUENCES_SCHEMA.fields))
         for c in expected_columns:
             if c not in schema.fieldNames():
                 schema = schema.add(T.StructField(c, T.StringType(), True))

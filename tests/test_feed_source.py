@@ -347,12 +347,44 @@ def test_stream_max_bytes_per_batch(spark, tmp_path):
             epoch=2,
             delete_col="is_del",
         )
-        wait_rows(3)
+        # k1 still drains under the pre-evolution schema; k2's file then
+        # carries the NEW column, which a running stream cannot widen to —
+        # the source must fail loudly (never silently drop the column)
+        wait_rows(2)
+        # awaitTermination raises the reader's error once the widened file
+        # is read; a clean timeout (return False, no raise) means the
+        # stream silently survived, which pytest.raises reports as failure
+        with pytest.raises(Exception, match="evolved"):
+            q.awaitTermination(120)
     finally:
         q.stop()
 
-    got = spark.read.parquet(str(out))
-    assert rows_key(got) == rows_key(t.read_changes(0))
+    # restart on the SAME checkpoint: the new reader declares the evolved
+    # schema, replays the failed batch from its WAL offset, and null-fills
+    # pre-evolution files — the documented recovery path
+    q2 = (
+        spark.readStream.format("snaptable_changes")
+        .option("path", str(tmp_path / "t"))
+        .option("max_bytes_per_batch", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        wait_rows(3)
+    finally:
+        q2.stop()
+
+    want = t.read_changes(0)
+    got = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(str(out))
+        .select(*want.columns)
+    )
+    assert rows_key(got) == rows_key(want)
 
     # every post-0 batch with data admitted exactly one commit version
     offs = sorted(
