@@ -986,6 +986,29 @@ def _docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_lines(docs, min_docs=2).select("doc_id", "text")
 
 
+def _dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (Lee et al. 2022 token-window
+    formulation): 15-token windows occurring >= 2 times corpus-wide,
+    merged into maximal per-doc spans. Windows are md5'd before the
+    count shuffle so digests, not window texts, ride the exchange."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        duplicate_spans,
+    )
+
+    return duplicate_spans(_documents(spark, sf_dir), window=15)
+
+
+def _docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al.'s removal action over the same spans: cut every
+    duplicated token range from every document, keep surrounding prose,
+    never drop rows (fully-duplicated docs survive with empty text)."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        remove_duplicate_spans,
+    )
+
+    return remove_duplicate_spans(_documents(spark, sf_dir), window=15)
+
+
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidates (Hamming <= 3 via the pigeonhole chunk join) ->
     exact shingle-Jaccard >= 0.9 verification, RESTRICTED to the planted
@@ -1645,6 +1668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_keep_representatives": _docs_keep_representatives,
         "docs_keep_best_quality": _docs_keep_best_quality,
         "docs_line_dedup": _docs_line_dedup,
+        "dup_spans_docs": _dup_spans_docs,
+        "docs_span_dedup": _docs_span_dedup,
         "simhash_near_dups": _simhash_near_dups,
         "knn_bruteforce": _knn_bruteforce,
         "knn_lsh": _knn_lsh,
@@ -1699,6 +1724,45 @@ def oracle_sql() -> dict[str, str]:
          {extra_pred}
         WHERE len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(list_concat(a.s, b.s))) >= {threshold}
+    """
+    # shared CTE chain for the Lee-et-al exact-substring span queries:
+    # 15-token windows md5'd, counted corpus-wide, >=2 occurrences marked,
+    # overlapping windows merged into maximal spans via gaps-and-islands
+    span_cte = r"""
+          w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+            FROM documents
+          ), t AS (
+            SELECT doc_id, ws FROM w WHERE len(ws) >= 15
+          ), wi AS (
+            SELECT doc_id, ws,
+                   unnest(range(1, len(ws) - 13)) AS i
+            FROM t
+          ), wins AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(ws[i:i+14], ' ')) AS g
+            FROM wi
+          ), dup AS (
+            SELECT g FROM wins GROUP BY g HAVING count(*) >= 2
+          ), occ AS (
+            SELECT doc_id, pos FROM wins WHERE g IN (SELECT g FROM dup)
+          ), isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) + 15
+                        THEN 1 ELSE 0 END AS f
+            FROM occ
+          ), isl2 AS (
+            SELECT doc_id, pos,
+                   sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl
+          ), spans AS (
+            SELECT doc_id, min(pos)::BIGINT AS span_start,
+                   (max(pos) + 14)::BIGINT AS span_end
+            FROM isl2 GROUP BY doc_id, island
+          )
     """
     ts_json = """
         SELECT event_id,
@@ -1963,6 +2027,33 @@ def oracle_sql() -> dict[str, str]:
                       FROM kept k WHERE k.doc_id = u.doc_id), '') AS text
             FROM uni u
         """,
+        "dup_spans_docs": (
+            "WITH " + span_cte + """
+            SELECT doc_id, span_start, span_end,
+                   span_end - span_start + 1 AS span_tokens
+            FROM spans
+            """
+        ),
+        "docs_span_dedup": (
+            "WITH " + span_cte + """
+            , tok AS (
+              SELECT doc_id, unnest(ws) AS w,
+                     unnest(range(1, len(ws) + 1)) - 1 AS pos
+              FROM w
+            ), kept AS (
+              SELECT k.doc_id, k.w, k.pos FROM tok k
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = k.doc_id
+                  AND k.pos BETWEEN s.span_start AND s.span_end)
+            )
+            SELECT d.doc_id,
+                   coalesce((SELECT string_agg(k.w, ' ' ORDER BY k.pos)
+                             FROM kept k WHERE k.doc_id = d.doc_id),
+                            '') AS text
+            FROM w d
+            """
+        ),
         "simhash_near_dups": docs_shingles.format(
             suffix="  ",
             threshold=0.9,

@@ -700,3 +700,132 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------- exact duplicate substrings
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 15,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-substring detection, the token-window formulation of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): every ``window``-token sliding window whose text occurs
+    >= ``min_count`` times in the corpus (within- OR cross-document —
+    memorization does not care which) marks its token range as duplicated;
+    overlapping/adjacent marked windows merge into maximal spans.
+
+    Returns ``(id_col, span_start, span_end, span_tokens)`` — 0-based
+    inclusive token positions in the normalized (lower/trim, whitespace-
+    split) token stream, one row per maximal span.
+
+    Scale shape: windows are md5-hashed BEFORE the shuffle, so the
+    count-and-filter aggregation and the semi-join move 32-char digests
+    rather than ~100-char window texts; the duplicated-gram set is
+    boilerplate-sized (small), so AQE can broadcast the semi-join side;
+    the island merge is one window-function pass partitioned by document.
+    Docs shorter than ``window`` tokens have no windows — they cannot
+    memorize-duplicate at this granularity (Lee et al.'s contract).
+    """
+    from pyspark.sql import Window as W
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = df.select(F.col(id_col), words.alias("__ws")).filter(
+        F.size("__ws") >= window
+    )
+    wins = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__ws") - window),
+                lambda i: F.md5(
+                    F.array_join(F.slice("__ws", i + 1, window), " ")
+                ),
+            )
+        ).alias("__pos", "__g"),
+    )
+    dup = (
+        wins.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__g")
+    )
+    occ = wins.join(dup, "__g", "left_semi").select(id_col, "__pos")
+    w_doc = W.partitionBy(id_col).orderBy("__pos")
+    flagged = occ.withColumn(
+        "__new",
+        F.when(
+            F.col("__pos") > F.lag("__pos").over(w_doc) + window, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w_doc.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(id_col, "__island")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + window - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 15,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every duplicated span found by :func:`duplicate_spans` from
+    every document (Lee et al.'s dedup action: cut the repeated substring
+    everywhere, keep the surrounding prose). Operates in normalized token
+    space — the returned ``text_col`` is the surviving tokens re-joined
+    with single spaces (token-level dedup's standard output; the original
+    byte text is gone the moment windows are tokenized). Rows are never
+    dropped: a fully-duplicated document survives with empty text.
+
+    Scale shape: the span table is small (boilerplate-sized); the
+    token-vs-span anti-join is equi on the document id with a range
+    residual, then one groupBy per document to reassemble — both
+    exchanges hash on the id, so AQE coalesces them onto one key layout.
+    """
+    spans = duplicate_spans(df, text_col, id_col, window, min_count)
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = df.select(
+        F.col(id_col), F.posexplode(words).alias("__pos", "__w")
+    )
+    kept = toks.alias("t").join(
+        spans.alias("s"),
+        on=[
+            F.col(f"t.{id_col}") == F.col(f"s.{id_col}"),
+            F.col("t.__pos") >= F.col("s.span_start"),
+            F.col("t.__pos") <= F.col("s.span_end"),
+        ],
+        how="left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__w"))),
+                lambda s: s["__w"],
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .fillna({text_col: ""})
+    )

@@ -199,3 +199,67 @@ def test_pack_sequences_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 2)], "doc_id long, n_tok long")
     with pytest.raises(ValueError):
         pack_sequences(df, budget=0, token_col="n_tok")
+
+
+# ------------------------------------------- exact duplicate substrings
+
+def test_duplicate_spans(spark):
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    boiler = (
+        "subscribe to our newsletter for daily updates and exclusive "
+        "offers today only dear friends"
+    )
+    assert len(boiler.split()) == 14
+    rows = [
+        # docs 0/1 share a 15-token prefix (boiler + 'x') and differ after
+        (0, boiler + " x unique tail zero alpha beta gamma"),
+        (1, boiler + " x unique tail one delta epsilon zeta"),
+        # doc 2: within-doc repetition of a 15-token run (counts twice)
+        (2, boiler + " y " + boiler + " y closing words here now"),
+        # doc 3: too short for any window
+        (3, "tiny document"),
+        # doc 4: clean, no shared windows
+        (4, "completely different content about query engines and vectorized execution pipelines running fast always everywhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = duplicate_spans(df, window=15).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1
+    # docs 0 and 1 share the 17-token prefix (boiler + 'x unique tail'),
+    # so windows 0..2 are marked and merge into one span (0, 16)
+    assert by_doc[0] == [(0, 16)]
+    assert by_doc[1] == [(0, 16)]
+    # doc 2's repeated run marks windows in both copies; doc 3/4 clean
+    assert 2 in by_doc
+    assert 3 not in by_doc and 4 not in by_doc
+
+    cleaned = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(df, window=15).collect()
+    }
+    assert len(cleaned) == len(rows)  # rows never dropped
+    # doc 0 keeps its tail, loses the shared prefix
+    assert cleaned[0] == "zero alpha beta gamma"
+    assert cleaned[1] == "one delta epsilon zeta"
+    # untouched docs come back token-normalized but content-identical
+    assert cleaned[3] == "tiny document"
+    assert cleaned[4] == rows[4][1]
+    # removal drops exactly the spanned positions on every doc
+    for i, text in rows:
+        ws = text.lower().split()
+        covered = set()
+        for r in duplicate_spans(df, window=15).collect():
+            if r["doc_id"] == i:
+                covered.update(range(r["span_start"], r["span_end"] + 1))
+        want = " ".join(
+            w for p, w in enumerate(ws) if p not in covered
+        )
+        assert cleaned[i] == want, i
