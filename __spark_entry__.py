@@ -986,6 +986,35 @@ def _docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_lines(docs, min_docs=2).select("doc_id", "text")
 
 
+_CAESAR_FROM = "abcdefghijklmnopqrstuvwxyz"
+_CAESAR_TO = "bcdefghijklmnopqrstuvwxyza"
+
+
+def _incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a NEW batch (every-25th-doc clones with
+    ' zzz' appended, plus Caesar-shifted fresh docs with ~0 shingle
+    overlap) probed against the documents corpus via banded MinHash —
+    new-vs-corpus candidates only, no corpus self-join, corpus text
+    touched only for candidate verification. Exact-verified, so the
+    DuckDB oracle is the full cross exact-Jaccard at the same
+    threshold."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        minhash_dedup_against,
+    )
+
+    corpus = _documents(spark, sf_dir).select("doc_id", "text")
+    clones = corpus.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    fresh = corpus.filter(F.col("doc_id") % 25 == 7).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.translate(F.col("text"), _CAESAR_FROM, _CAESAR_TO).alias("text"),
+    )
+    new_batch = clones.unionByName(fresh)
+    return minhash_dedup_against(new_batch, corpus, threshold=0.8)
+
+
 def _dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate-substring spans (Lee et al. 2022 token-window
     formulation): 15-token windows occurring >= 2 times corpus-wide,
@@ -1670,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_line_dedup": _docs_line_dedup,
         "dup_spans_docs": _dup_spans_docs,
         "docs_span_dedup": _docs_span_dedup,
+        "incremental_dedup_newbatch": _incremental_dedup_newbatch,
         "simhash_near_dups": _simhash_near_dups,
         "knn_bruteforce": _knn_bruteforce,
         "knn_lsh": _knn_lsh,
@@ -2026,6 +2056,44 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT string_agg(k.line, chr(10) ORDER BY k.pos)
                       FROM kept k WHERE k.doc_id = u.doc_id), '') AS text
             FROM uni u
+        """,
+        "incremental_dedup_newbatch": r"""
+            WITH newb AS (
+              SELECT doc_id + 2000000 AS doc_id, text || ' zzz' AS text
+              FROM documents WHERE doc_id % 25 = 0
+              UNION ALL
+              SELECT doc_id + 3000000 AS doc_id,
+                     translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                               'bcdefghijklmnopqrstuvwxyza') AS text
+              FROM documents WHERE doc_id % 25 = 7
+            ), shn AS (
+              SELECT doc_id,
+                     list_distinct(
+                       list_transform(generate_series(1, length(norm) - 4),
+                                      i -> norm[i:i+4])) AS s
+              FROM (SELECT doc_id,
+                           lower(regexp_replace(text, '\s+', ' ', 'g'))
+                             AS norm
+                    FROM newb)
+            ), shc AS (
+              SELECT doc_id,
+                     list_distinct(
+                       list_transform(generate_series(1, length(norm) - 4),
+                                      i -> norm[i:i+4])) AS s
+              FROM (SELECT doc_id,
+                           lower(regexp_replace(text, '\s+', ' ', 'g'))
+                             AS norm
+                    FROM documents)
+            )
+            SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+                   round(len(list_intersect(n.s, c.s))::DOUBLE
+                         / len(list_distinct(list_concat(n.s, c.s))), 6)
+                     AS jaccard
+            FROM shn n JOIN shc c
+              ON least(len(n.s), len(c.s))::DOUBLE
+                 >= 0.8 * greatest(len(n.s), len(c.s))
+            WHERE len(list_intersect(n.s, c.s))::DOUBLE
+                  / len(list_distinct(list_concat(n.s, c.s))) >= 0.8
         """,
         "dup_spans_docs": (
             "WITH " + span_cte + """

@@ -154,11 +154,13 @@ def minhash_lsh_candidates(
     return _candidates_from_sigs(sigs, id_col, num_hashes, bands)
 
 
-def _candidates_from_sigs(
+def _band_table(
     sigs: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
+    """(id, band, bh) rows — bh is the xxhash64 of the band's signature
+    slice, so band rows are 24 B regardless of signature length."""
     rows_per_band = num_hashes // bands
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -180,6 +182,12 @@ def _candidates_from_sigs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
+def _candidates_from_sigs(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    banded = _band_table(sigs, id_col, num_hashes, bands)
 
     # materialize the band table before the self-join: the two join sides
     # are independent branches of the same plan, so without this the whole
@@ -828,4 +836,123 @@ def remove_duplicate_spans(
         df.select(id_col)
         .join(rebuilt, id_col, "left")
         .fillna({text_col: ""})
+    )
+
+
+# ------------------------------------------- incremental corpus dedup
+
+def minhash_dedup_against(
+    new_df: DataFrame,
+    corpus_df: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+    corpus_sigs: Optional[DataFrame] = None,
+    verify: str = "exact",
+) -> DataFrame:
+    """Incremental near-dup probe: pairs ``(id_new, id_corpus[, jaccard |
+    est_jaccard])`` between a NEW document batch and an EXISTING corpus —
+    the dedup step of continual-pretraining ingest, where each arriving
+    batch must be checked against everything already accepted without
+    re-deduplicating the corpus.
+
+    The corpus side participates only through its (persisted) signature
+    table: pass ``corpus_sigs`` (a table produced by
+    :func:`minhash_signatures`, e.g. maintained in a SnapTable keyed by
+    doc id and appended per accepted batch) and the 100 TB corpus TEXT is
+    never read — band rows are built from signatures alone, and the band
+    join is new-batch-sized on one side. ``verify='estimate'`` keeps it
+    that way (the MinHash estimator runs on the stored signatures);
+    ``verify='exact'`` re-reads text for the candidate ids only (needs
+    ``corpus_df``) and is the deterministic/SQL-oracle-comparable mode.
+    Ids must be globally unique across both tables (they share the doc-id
+    namespace by construction in an ingest pipeline).
+
+    Unlike the self-join of :func:`minhash_lsh_pairs` there is no
+    corpus-vs-corpus quadratic term at all: candidates are (new x corpus)
+    band collisions only.
+    """
+    if corpus_sigs is None:
+        if corpus_df is None:
+            raise ValueError("pass corpus_df or corpus_sigs")
+        corpus_sigs = minhash_signatures(
+            corpus_df, text_col, id_col, num_hashes, shingle_size, seed
+        )
+    corpus_sigs = corpus_sigs.localCheckpoint(eager=True)
+    new_sigs = minhash_signatures(
+        new_df, text_col, id_col, num_hashes, shingle_size, seed
+    ).localCheckpoint(eager=True)
+
+    banded_new = _band_table(new_sigs, id_col, num_hashes, bands).select(
+        "band", "bh", F.col(id_col).alias("id_new")
+    )
+    banded_cor = _band_table(corpus_sigs, id_col, num_hashes, bands).select(
+        "band", "bh", F.col(id_col).alias("id_corpus")
+    )
+    cand = (
+        banded_new.join(banded_cor, on=["band", "bh"])
+        .select("id_new", "id_corpus")
+        .distinct()
+    )
+
+    def _estimated(pairs: DataFrame) -> DataFrame:
+        a = new_sigs.select(
+            F.col(id_col).alias("id_new"), F.col("minhash").alias("mh_a")
+        )
+        b = corpus_sigs.select(
+            F.col(id_col).alias("id_corpus"), F.col("minhash").alias("mh_b")
+        )
+        agree = F.size(
+            F.filter(
+                F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda x: x
+            )
+        )
+        return (
+            pairs.join(a, "id_new")
+            .join(b, "id_corpus")
+            .select(
+                "id_new",
+                "id_corpus",
+                F.round(
+                    agree.cast("double") / F.lit(float(num_hashes)), 6
+                ).alias("est_jaccard"),
+            )
+        )
+
+    if verify == "estimate":
+        return _estimated(cand).filter(F.col("est_jaccard") >= threshold)
+    if verify != "exact":
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    if corpus_df is None:
+        raise ValueError("verify='exact' needs corpus_df (candidate texts)")
+    # same Hoeffding-sound estimate prefilter as minhash_lsh_pairs
+    margin = max(0.45, math.sqrt(math.log(1e9) / (2.0 * num_hashes)))
+    prefilter = threshold - margin
+    if prefilter > 0:
+        cand = (
+            _estimated(cand)
+            .filter(F.col("est_jaccard") >= prefilter)
+            .select("id_new", "id_corpus")
+        )
+    union = new_df.select(id_col, text_col).unionByName(
+        corpus_df.select(id_col, text_col)
+    )
+    verified = ngram_jaccard_pairs(
+        union,
+        cand.select(
+            F.col("id_new").alias("id_a"), F.col("id_corpus").alias("id_b")
+        ),
+        text_col,
+        id_col,
+        shingle_size,
+        threshold,
+    )
+    return verified.select(
+        F.col("id_a").alias("id_new"),
+        F.col("id_b").alias("id_corpus"),
+        "jaccard",
     )

@@ -448,3 +448,41 @@ def test_remove_duplicate_lines(spark):
     assert got[4] == "self\nself\nunique tail"  # 1 doc < min_docs
     assert got[5] == "kept line"
     assert set(got) == {1, 2, 3, 4, 5}  # no rows dropped
+
+
+def test_minhash_dedup_against(spark, docs_df):
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        minhash_dedup_against,
+        minhash_signatures,
+    )
+
+    new = spark.createDataFrame(
+        [
+            (100, DOCS[0][1] + " zzz"),  # near-dup of docs 0/1 (exact twins)
+            (101, "totally unrelated new content about orchestration of containers"),
+        ],
+        "doc_id long, text string",
+    )
+    got = minhash_dedup_against(new, docs_df, threshold=0.8).collect()
+    pairs = {(r["id_new"], r["id_corpus"]) for r in got}
+    assert (100, 0) in pairs and (100, 1) in pairs
+    assert all(p[0] in (100, 101) for p in pairs)  # never corpus-vs-corpus
+    assert not any(p[0] == 101 for p in pairs)
+    for r in got:
+        assert r["jaccard"] >= 0.8
+
+    # estimate mode from a persisted signature table only — corpus text
+    # never touched (corpus_df omitted entirely)
+    sigs = minhash_signatures(docs_df)
+    est = minhash_dedup_against(
+        new, corpus_sigs=sigs, threshold=0.8, verify="estimate"
+    ).collect()
+    est_pairs = {(r["id_new"], r["id_corpus"]) for r in est}
+    assert (100, 0) in est_pairs and (100, 1) in est_pairs
+    assert not any(p[0] == 101 for p in est_pairs)
+
+    # exact mode without corpus text is a configuration error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corpus_df"):
+        minhash_dedup_against(new, corpus_sigs=sigs, verify="exact")
