@@ -208,6 +208,18 @@ def main() -> None:
     )
     extras["minhash_pairs"] = n_pairs
 
+    # exact duplicate-substring detection (Lee et al. token windows):
+    # window-hash aggregate + semi-join + island merge, pure Catalyst
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        duplicate_spans,
+    )
+
+    n_spans = timed(
+        "span_dedup",
+        lambda: duplicate_spans(docs, window=15).count(),
+    )
+    extras["dup_spans"] = n_spans
+
     # --- full CDC replay, the headline ------------------------------------
     n_changes = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", str(n_events_tbl * 5)))
     work = tempfile.mkdtemp(

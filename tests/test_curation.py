@@ -263,3 +263,44 @@ def test_duplicate_spans(spark):
             w for p, w in enumerate(ws) if p not in covered
         )
         assert cleaned[i] == want, i
+
+
+def test_redact_pii_differential_fuzz(spark):
+    """Seeded-random differential: the full redaction chain must agree
+    byte-for-byte between Java regex (Spark) and RE2 (DuckDB) on 300
+    random ASCII strings plus adversarial near-PII edges (digit runs
+    longer than the card range, 4-dot IPs, boundary-less digits) — the
+    cross-engine property the contract oracle stands on."""
+    import random
+    import string
+
+    rng = random.Random(7)
+    chars = string.ascii_letters + string.digits + " .@+-%_|/:;!?#'\n\t"
+    cases = [
+        "".join(rng.choice(chars) for _ in range(rng.randint(0, 80)))
+        for _ in range(300)
+    ]
+    cases += [
+        "a@b.cd", "1.2.3.4", "999.999.999.999", "+1-555-0134-99999",
+        "0000000000000", "@@@", "x@y", "1234567890123456789012",
+        "10.0.0.1.2", "a+b@c-d.ee 1.1.1.1", "+12-345-6789",
+        "email@at@double.com", ".1.2.3.4.", "4111 1111 1111 1111",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", redact_pii(F.col("t")).alias("r")).collect()
+    }
+    expr = "t"
+    for _, pattern, repl in DEFAULT_PII_RULES:
+        expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c(i BIGINT, t VARCHAR)")
+    con.executemany(
+        "INSERT INTO c VALUES (?, ?)", [(i, c) for i, c in enumerate(cases)]
+    )
+    duck = dict(con.execute(f"SELECT i, {expr} FROM c").fetchall())
+    for i, c in enumerate(cases):
+        assert duck[i] == got[i], f"case {i}: {c!r}: {duck[i]!r} != {got[i]!r}"

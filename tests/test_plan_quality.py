@@ -153,3 +153,59 @@ def test_training_pipeline_single_shuffle_pruned_scan(spark):
     assert plan.count("Exchange") == 1, plan
     assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_curation_ops_plan_shapes(spark):
+    """The curation layer's scale contracts, pinned in the executed plan:
+    PII redaction and the mixing sample are scan-side projections (zero
+    exchanges, no Python); decontamination broadcasts the benchmark gram
+    set and never sort-merge-joins the corpus; packing is exactly one
+    hash exchange into the Arrow kernel."""
+    from embulk_filter_expand_json_spark.operators.curation import (
+        decontaminate,
+        mix_sample,
+        pack_sequences,
+        redact_pii,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    redacted = docs.select("doc_id", redact_pii(F.col("text")).alias("t"))
+    p = plan_of(redacted)
+    assert "Exchange" not in p and "Python" not in p
+
+    mixed = mix_sample(docs, {"src0": 1.0, "src1": 0.5})
+    p = plan_of(mixed)
+    assert "Exchange" not in p and "Python" not in p
+
+    dec = decontaminate(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    p = plan_of(dec)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    packed = pack_sequences(
+        docs.select("doc_id", F.col("n_chars").alias("n_tok")),
+        budget=256,
+        token_col="n_tok",
+    )
+    p = plan_of(packed)
+    assert p.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in p
+
+
+def test_span_dedup_plan_shapes(spark):
+    """duplicate_spans: the window-count aggregation shuffles md5 DIGESTS
+    (the gram column is the md5 output), never window texts, and the
+    whole detection plan stays JVM-side."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        duplicate_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spans = duplicate_spans(docs, window=15)
+    p = plan_of(spans)
+    assert "Python" not in p and "md5" in p
+    # the aggregation keyed on the digest column appears before any join
+    assert "hashAggregate" in p.lower() or "HashAggregate" in p
