@@ -1610,6 +1610,31 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(un, dim=dim, threshold=0.99)
 
 
+def _semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): embedding-space
+    near-dup pairs (LSH-bucketed cosine >= 0.99) -> connected components
+    (pointer-jumping min-label) -> keep each component's minimum id.
+    Composition of three already-verified operators; the oracle replays
+    the chain with a full cross cosine join + recursive closure."""
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        neardup_components,
+    )
+    from embulk_filter_expand_json_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    un = _emb_with_planted(spark, sf_dir)
+    dim = len(un.first()["embedding"])
+    pairs = embedding_near_dup_pairs(un, dim=dim, threshold=0.99).select(
+        "id_a", "id_b"
+    )
+    comp = neardup_components(pairs, "id_a", "id_b")
+    drop = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return un.select("vec_id").join(drop, "vec_id", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1706,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _knn_ivf,
         "knn_ivf_batch": _knn_ivf_batch,
         "embedding_near_dups": _embedding_near_dups,
+        "semdedup_embeddings": _semdedup_embeddings,
         "sessionize_events": _sessionize_events,
         "sessionize_chunked": _sessionize_chunked,
         "training_pipeline_docs": _training_pipeline_docs,
@@ -2408,6 +2434,35 @@ def oracle_sql() -> dict[str, str]:
             FROM uni a JOIN uni b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.99
+        """,
+        "semdedup_embeddings": """
+            WITH RECURSIVE uni AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(x * 1.0001 AS FLOAT)) AS embedding
+              FROM embeddings WHERE vec_id % 50 = 0
+            ), pairs AS MATERIALIZED (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 6)
+                    >= 0.99
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(node, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            ), comp AS (
+              SELECT node, min(label) AS component FROM reach GROUP BY node
+            )
+            SELECT u.vec_id FROM uni u
+            WHERE u.vec_id NOT IN (
+              SELECT node FROM comp WHERE node <> component)
         """,
         "expand_props_keep_and_missing": """
             SELECT event_id, ts, user_id, event_type, value, props,
