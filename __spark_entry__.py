@@ -986,6 +986,63 @@ def _docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_lines(docs, min_docs=2).select("doc_id", "text")
 
 
+def _streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation operators running UNMODIFIED on a stream: documents
+    (with the same planted PII as pii_redaction) fed as a 3-file
+    readStream; per-micro-batch quality gate (>= 0.45, drops ~12% of fixture docs) -> PII redaction ->
+    token count, appended to a parquet sink under availableNow. All
+    stateless projections, so streaming output == the batch query — which
+    is the DuckDB oracle (quality formula + redaction chain in SQL).
+    This is the ingest shape where curation actually runs at 100 TB: on
+    the arriving stream, not as a separate corpus pass."""
+    import tempfile as _tf
+
+    from embulk_filter_expand_json_spark.functions.text import (
+        quality_score,
+        whitespace_token_count,
+    )
+    from embulk_filter_expand_json_spark.operators.curation import redact_pii
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit(_PII_SUFFIX),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    work = _tf.mkdtemp(prefix="curstream_entry_")
+    try:
+        src = os.path.join(work, "in")
+        _feed_time_ordered_files(spark, planted, src, 3, order_col="doc_id")
+        stream = spark.readStream.schema(planted.schema).parquet(src)
+        out = stream.filter(quality_score(F.col("text")) >= 0.45).select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("clean_text"),
+            whitespace_token_count(F.col("text")).cast("long").alias("n_tok"),
+            quality_score(F.col("text")).alias("qscore"),
+        )
+        sink = os.path.join(work, "out")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("streaming curation did not drain in 300s")
+        res = spark.read.parquet(sink)
+        return spark.createDataFrame(res.collect(), res.schema)  # detach
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _CAESAR_FROM = "abcdefghijklmnopqrstuvwxyz"
 _CAESAR_TO = "bcdefghijklmnopqrstuvwxyza"
 
@@ -1725,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_docs": _dup_spans_docs,
         "docs_span_dedup": _docs_span_dedup,
         "incremental_dedup_newbatch": _incremental_dedup_newbatch,
+        "streaming_curation": _streaming_curation,
         "simhash_near_dups": _simhash_near_dups,
         "knn_bruteforce": _knn_bruteforce,
         "knn_lsh": _knn_lsh,
@@ -2082,6 +2140,50 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT string_agg(k.line, chr(10) ORDER BY k.pos)
                       FROM kept k WHERE k.doc_id = u.doc_id), '') AS text
             FROM uni u
+        """,
+        "streaming_curation": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' contact u' || doc_id::VARCHAR ||
+                               '@example.com or +1-555-0134 from 10.2.3.4 card 4111111111111111'
+                          ELSE text END AS t
+              FROM documents
+            ), feat AS (
+              SELECT doc_id, t,
+                     length(t) AS n_chars,
+                     CASE WHEN length(t) = 0 THEN 0.0
+                          ELSE len(regexp_extract_all(t, '[^\w\s]'))::DOUBLE
+                               / length(t) END AS pr,
+                     regexp_split_to_array(lower(trim(t)), '\s+') AS words,
+                     CASE WHEN trim(t) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(t), '\s+'))
+                     END::BIGINT AS n_tok
+              FROM p
+            ), scored AS (
+              SELECT doc_id, t, n_tok,
+                     round((least(n_chars / 500.0, 1.0)
+                            + (1.0 - least(pr * 4.0, 1.0))
+                            + least(CASE WHEN len(words) = 0 THEN 0.0
+                                         ELSE len(list_filter(words,
+                                             w -> w IN ('the','and','of','to','in')))::DOUBLE
+                                              / len(words) END * 5.0, 1.0)
+                           ) / 3.0, 6) AS qscore
+              FROM feat
+            ), gated AS (
+              SELECT * FROM scored WHERE qscore >= 0.45
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\+\d{1,3}-\d{3}-\d{3,4}(-\d{3,4})?', '<PHONE>', 'g'),
+                     '\b\d{13,19}\b', '<CARD>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+                     AS clean_text,
+                   n_tok, qscore
+            FROM gated
         """,
         "incremental_dedup_newbatch": r"""
             WITH newb AS (
