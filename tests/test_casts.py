@@ -195,6 +195,39 @@ def test_iso_week_date_tokens():
     assert _parse_one("2020-01-3", "%G-%V-%u") == "2020-01-01T00:00:00+00:00"
 
 
+def test_century_tokens():
+    """%C/%g (Ruby century and 2-digit ISO year) via the pre-parse rewrite:
+    year = cent*100 + yy; lone 2-digit years pivot 00-68 -> 2000s like
+    Ruby Date.strptime completion (reference dialect:
+    ExpandJsonFilterPlugin.java:77-79 accepts full Ruby strftime)."""
+    import pandas as pd
+
+    from embulk_filter_expand_json_spark.functions.timefmt import (
+        parse_timestamp_series,
+    )
+
+    assert _parse_one("1999-07-04", "%C%y-%m-%d") == "1999-07-04T00:00:00+00:00"
+    # non-adjacent %C ... %y still combines (Ruby field semantics)
+    assert (
+        _parse_one("19 x 99-07-04", "%C x %y-%m-%d")
+        == "1999-07-04T00:00:00+00:00"
+    )
+    # %C alone -> year = C*100
+    assert _parse_one("20", "%C") == "2000-01-01T00:00:00+00:00"
+    # %g with the ISO pair, pivot both directions
+    assert _parse_one("26-33-7", "%g-%V-%u") == "2026-08-16T00:00:00+00:00"
+    assert _parse_one("99-01-1", "%g-%V-%u") == "1999-01-04T00:00:00+00:00"
+    # %C%g: explicit century beats the pivot
+    assert (
+        _parse_one("2026-33-7", "%C%g-%V-%u") == "2026-08-16T00:00:00+00:00"
+    )
+    # shape-mismatched rows take the invalid-record channel, not a crash
+    p, e = parse_timestamp_series(
+        pd.Series(["garbage", "1999-07-04"]), "%C%y-%m-%d", "UTC", "1970-01-01"
+    )
+    assert list(e) == [True, False]
+
+
 def test_locale_date_time_tokens():
     # C-locale %x (=%m/%d/%y), %X (=%H:%M:%S, time-only -> default_date),
     # %c (full datetime)
@@ -215,9 +248,12 @@ def test_unsupported_tokens_rejected_at_plan_time():
         validate_ruby_format,
     )
 
-    # %C (century) and %g (2-digit ISO year) have no strptime directive —
-    # misconfiguration must surface at plan time, not mid-job
-    for fmt in ("%C%y-%m-%d", "%g-%V-%u"):
+    # %C (century) and %g (2-digit ISO year) have no strptime directive but
+    # are handled by the pre-parse century rewrite; only ambiguous mixes
+    # with a 4-digit year (or two year tokens) are rejected at plan time
+    for fmt in ("%C%y-%m-%d", "%g-%V-%u", "%C", "%C%g-%V-%u"):
+        validate_ruby_format(fmt)
+    for fmt in ("%C%Y", "%C%G-%V-%u", "%g-%Y", "%g%y-%V-%u", "%g-%V"):
         with pytest.raises(UnsupportedTimestampFormat):
             validate_ruby_format(fmt)
     # the newly supported tokens all validate
