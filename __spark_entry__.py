@@ -175,6 +175,51 @@ def _expand_ts_json_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.unix_micros("t").alias("t_us"), "j")
 
 
+def _expand_ts_century(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """%C (century) and %g (2-digit ISO week-year) timestamp tokens through
+    the Arrow path's pre-parse century rewrite (Ruby dialect:
+    ExpandJsonFilterPlugin.java:77-79): cd uses %C%y with an explicit
+    century, gd uses %g-%V-%u with the Ruby 00-68 -> 2000s pivot. Every
+    23rd row carries an unparseable date (invalid-record drop). Timestamps
+    compared as epoch micros; the oracle rebuilds the ISO week date from
+    Jan-4 arithmetic, independent of any strptime dialect."""
+    from embulk_filter_expand_json_spark import expand_json
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    cd_str = F.format_string(
+        "%02d%02d-%02d-%02d",
+        (eid % 2 + 19).cast("int"), (eid % 100).cast("int"),
+        (eid % 12 + 1).cast("int"), (eid % 28 + 1).cast("int"),
+    )
+    cd_str = F.when(eid % 23 == 0, F.lit("xx-xx")).otherwise(cd_str)
+    gd_str = F.format_string(
+        "%02d-%02d-%d",
+        (eid % 100).cast("int"), (eid % 52 + 1).cast("int"),
+        (eid % 7 + 1).cast("int"),
+    )
+    payload = F.concat(
+        F.lit('{"cd":"'), cd_str, F.lit('","gd":"'), gd_str, F.lit('"}'),
+    )
+    out = expand_json(
+        ev.select("event_id", payload.alias("payload")),
+        {
+            "json_column_name": "payload",
+            "expanded_columns": [
+                {"name": "cd", "type": "timestamp", "format": "%C%y-%m-%d"},
+                {"name": "gd", "type": "timestamp", "format": "%g-%V-%u"},
+            ],
+            "stop_on_invalid_record": False,
+        },
+        mode="arrow",
+    )
+    return out.select(
+        "event_id",
+        F.unix_micros("cd").alias("cd_us"),
+        F.unix_micros("gd").alias("gd_us"),
+    )
+
+
 def _expand_struct_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """json-typed (parsed struct) source column — the reference accepts
     json-typed input and re-serializes (ExpandJsonFilterPlugin.java:114-119;
@@ -1072,6 +1117,76 @@ def _incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_against(new_batch, corpus, threshold=0.8)
 
 
+def _select_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: best-quality docs first until 15,000
+    whitespace tokens are consumed (greedy prefix over (qscore DESC,
+    doc_id)). The engine runs the histogram + boundary-bucket plan — the
+    full corpus path is filter-only, only ~1/resolution of rows pay a
+    window — while the oracle replays the equivalent global cumulative
+    window, so the distributed decomposition is verified bit-equal to the
+    single-sort semantics."""
+    from embulk_filter_expand_json_spark.functions.text import (
+        quality_score,
+        whitespace_token_count,
+    )
+    from embulk_filter_expand_json_spark.operators.curation import (
+        select_token_budget,
+    )
+
+    scored = _documents(spark, sf_dir).select(
+        "doc_id",
+        quality_score(F.col("text")).alias("qscore"),
+        whitespace_token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return select_token_budget(
+        scored, budget=15_000, token_col="n_tok", score_col="qscore"
+    )
+
+
+def _exact_dedup_against_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup at ingest: a new batch (verbatim clones of
+    every 25th corpus doc, near-miss ' zzz' variants, and a Caesar-shifted
+    fresh set planted TWICE under two id ranges) probed against the
+    corpus through its fingerprint table only — corpus text never read,
+    new-batch fingerprints broadcast to the corpus-fp scan (zero corpus
+    shuffle). Expected survivors: the variants (fp differs) and the
+    min-id copy of each fresh doc (within-batch dedup); verbatim clones
+    and the higher-id fresh copies drop."""
+    from embulk_filter_expand_json_spark.functions.text import fingerprint
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        exact_dedup_against,
+    )
+
+    corpus = _documents(spark, sf_dir).select("doc_id", "text")
+    caesar = F.translate(F.col("text"), _CAESAR_FROM, _CAESAR_TO)
+    new_batch = (
+        corpus.filter(F.col("doc_id") % 25 == 0)
+        .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 2_500_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+            )
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 25 == 7).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                caesar.alias("text"),
+            )
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 25 == 7).select(
+                (F.col("doc_id") + 3_500_000).alias("doc_id"),
+                caesar.alias("text"),
+            )
+        )
+    )
+    # the persisted-fingerprint-table analog (what a SnapTable would hold)
+    corpus_fps = corpus.select(fingerprint(F.col("text")).alias("fp"))
+    out = exact_dedup_against(new_batch, corpus_fps=corpus_fps)
+    return out.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
 def _dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate-substring spans (Lee et al. 2022 token-window
     formulation): 15-token windows occurring >= 2 times corpus-wide,
@@ -1752,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expand_props_keep_and_missing": _expand_props_keep_and_missing,
         "expand_props_types": _expand_props_types,
         "expand_ts_json_arrow": _expand_ts_json_arrow,
+        "expand_ts_century": _expand_ts_century,
         "expand_ts_json_catalyst": _expand_ts_json_catalyst,
         "expand_struct_source": _expand_struct_source,
         "expand_tail_fns": _expand_tail_fns,
@@ -1782,6 +1898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_docs": _dup_spans_docs,
         "docs_span_dedup": _docs_span_dedup,
         "incremental_dedup_newbatch": _incremental_dedup_newbatch,
+        "exact_dedup_against_newbatch": _exact_dedup_against_newbatch,
+        "select_token_budget_docs": _select_token_budget_docs,
         "streaming_curation": _streaming_curation,
         "simhash_near_dups": _simhash_near_dups,
         "knn_bruteforce": _knn_bruteforce,
@@ -1893,6 +2011,25 @@ def oracle_sql() -> dict[str, str]:
         "expand_props_long_arrow": expand_long,
         "expand_ts_json_arrow": ts_json.format(frac_us="+ (event_id % 1000000)"),
         "expand_ts_json_catalyst": ts_json.format(frac_us=""),
+        "expand_ts_century": """
+            WITH g AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 100 <= 68
+                          THEN 2000 + event_id % 100
+                          ELSE 1900 + event_id % 100 END AS gy
+              FROM events
+            )
+            SELECT event_id,
+                   epoch_us(make_date(
+                     (1900 + (event_id % 2) * 100 + event_id % 100)::INT,
+                     (event_id % 12 + 1)::INT,
+                     (event_id % 28 + 1)::INT)::TIMESTAMP) AS cd_us,
+                   epoch_us((make_date(gy::INT, 1, 4)
+                     + ((event_id % 52) * 7 + (event_id % 7)
+                        - (isodow(make_date(gy::INT, 1, 4)) - 1))::INT
+                    )::TIMESTAMP) AS gd_us
+            FROM g WHERE event_id % 23 <> 0
+        """,
         "expand_struct_source": """
             SELECT event_id, user_id AS uid, event_type AS etype FROM events
         """,
@@ -2184,6 +2321,72 @@ def oracle_sql() -> dict[str, str]:
                      AS clean_text,
                    n_tok, qscore
             FROM gated
+        """,
+        "select_token_budget_docs": """
+            WITH w AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                               / length(text) END AS pr,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS words,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS n_tok
+              FROM documents
+            ), scored AS (
+              SELECT doc_id,
+                     round((least(n_chars / 500.0, 1.0)
+                            + (1.0 - least(pr * 4.0, 1.0))
+                            + least(CASE WHEN len(words) = 0 THEN 0.0
+                                         ELSE len(list_filter(words,
+                                             w -> w IN ('the','and','of','to','in')))::DOUBLE
+                                              / len(words) END * 5.0, 1.0)
+                           ) / 3.0, 6) AS qscore,
+                     n_tok::BIGINT AS n_tok
+              FROM w
+            ), cum AS (
+              SELECT doc_id, qscore, n_tok,
+                     sum(n_tok) OVER (ORDER BY qscore DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running
+              FROM scored
+            )
+            SELECT doc_id, qscore, n_tok FROM cum WHERE running <= 15000
+        """,
+        "exact_dedup_against_newbatch": r"""
+            WITH newb AS (
+              SELECT doc_id + 2000000 AS doc_id, text
+              FROM documents WHERE doc_id % 25 = 0
+              UNION ALL
+              SELECT doc_id + 2500000, text || ' zzz'
+              FROM documents WHERE doc_id % 25 = 0
+              UNION ALL
+              SELECT doc_id + 3000000,
+                     translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                               'bcdefghijklmnopqrstuvwxyza')
+              FROM documents WHERE doc_id % 25 = 7
+              UNION ALL
+              SELECT doc_id + 3500000,
+                     translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                               'bcdefghijklmnopqrstuvwxyza')
+              FROM documents WHERE doc_id % 25 = 7
+            ), fps AS (
+              SELECT doc_id,
+                     md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g')))
+                       AS fp
+              FROM newb
+            ), within AS (
+              SELECT min(doc_id) AS doc_id, fp FROM fps GROUP BY fp
+            ), corpus AS (
+              SELECT DISTINCT
+                     md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g')))
+                       AS fp
+              FROM documents
+            )
+            SELECT w.doc_id, w.fp
+            FROM within w LEFT JOIN corpus c ON w.fp = c.fp
+            WHERE c.fp IS NULL
         """,
         "incremental_dedup_newbatch": r"""
             WITH newb AS (

@@ -28,7 +28,7 @@ from typing import Mapping, Sequence, Tuple
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.text import word_ngrams
 from .split import _GRID, split_bucket
@@ -167,6 +167,72 @@ def mix_sample(
 # ---------------------------------------------------------------------------
 # Token-budget sequence packing
 # ---------------------------------------------------------------------------
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    resolution: int = 1000,
+) -> DataFrame:
+    """Keep the best-scoring documents until a global TOKEN budget is
+    reached: rows ordered by ``(score DESC, id ASC)``, kept while the
+    running token total (inclusive) stays ``<= budget`` — the data-mixing
+    step that cuts a curated corpus down to a target training-token count.
+
+    A naive implementation is one global window (ORDER BY score DESC) —
+    a single-partition sort of the whole corpus. Instead this runs the
+    distributed-prefix-sum shape: (1) one map-side-combined aggregate of
+    token sums per score HISTOGRAM bucket (``floor(score * resolution)``,
+    score clamped to [0,1]; <= resolution+1 rows to the driver), (2) the
+    driver walks buckets best-first to find the boundary bucket where the
+    cumulative crosses the budget, (3) buckets above the boundary are kept
+    by a plain filter (no sort at all), and only the BOUNDARY bucket —
+    ~1/resolution of the corpus — pays a windowed cumulative sum for the
+    residual budget. Bucketing by the monotone floor preserves the global
+    order exactly (equal scores share a bucket; the id tie-break happens
+    inside the boundary window), so the result is bit-identical to the
+    global-window semantics while the big data path is filter-only.
+
+    Tokens are summed as BIGINT, so the budget comparison is exact; the
+    boundary window is a single partition by construction and its size is
+    bounded by the corpus mass in one score bucket (raise ``resolution``
+    if scores concentrate).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+
+    score = F.least(F.greatest(F.col(score_col), F.lit(0.0)), F.lit(1.0))
+    bucket = F.floor(score * resolution).cast("long")
+    work = df.withColumn("__b", bucket)
+    hist = (
+        work.groupBy("__b")
+        .agg(F.sum(F.col(token_col).cast("long")).alias("toks"))
+        .collect()
+    )
+    acc = 0
+    boundary_b, residual = None, budget
+    for row in sorted(hist, key=lambda r: -r["__b"]):
+        if acc + row["toks"] > budget:
+            boundary_b, residual = row["__b"], budget - acc
+            break
+        acc += row["toks"]
+    if boundary_b is None:
+        return df  # whole corpus fits the budget
+    kept_full = work.filter(F.col("__b") > boundary_b).drop("__b")
+    w = (
+        Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_boundary = (
+        work.filter(F.col("__b") == boundary_b)
+        .withColumn("__cum", F.sum(F.col(token_col).cast("long")).over(w))
+        .filter(F.col("__cum") <= residual)
+        .drop("__b", "__cum")
+    )
+    return kept_full.unionByName(kept_boundary)
 
 
 def pack_sequences(

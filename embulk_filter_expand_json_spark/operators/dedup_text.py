@@ -85,6 +85,49 @@ def exact_dup_groups(
     )
 
 
+def exact_dedup_against(
+    new_df: DataFrame,
+    corpus_df: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_fps: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Incremental exact dedup: rows of a NEW batch that survive both
+    within-batch exact dedup (min id per fingerprint) and an exact-match
+    probe against an EXISTING corpus — the exact-dup step of
+    continual-pretraining ingest, complementing
+    :func:`minhash_dedup_against` for near-dups.
+
+    The corpus participates only through its fingerprint column: pass
+    ``corpus_fps`` (a persisted ``(doc_id, fp)``/``(fp)`` table maintained
+    per accepted batch, e.g. in a SnapTable) and the corpus TEXT is never
+    read. Scale shape: the NEW batch's distinct fingerprints broadcast to
+    the corpus-fingerprint scan (BroadcastHashJoin — the corpus side
+    streams, zero corpus shuffle, and parquet row groups prune on the fp
+    min/max where the table is fp-sorted); the matched-fp set is
+    batch-bounded and broadcasts back for the anti-join. No shuffle
+    anywhere at corpus cardinality.
+    """
+    if corpus_fps is None:
+        if corpus_df is None:
+            raise ValueError("pass corpus_df or corpus_fps")
+        corpus_fps = corpus_df.select(
+            fingerprint(F.col(text_col)).alias("fp")
+        )
+    fp_name = "fp" if "fp" in corpus_fps.columns else corpus_fps.columns[-1]
+    within = exact_dedup(new_df, text_col, id_col).withColumn(
+        "__fp", fingerprint(F.col(text_col))
+    )
+    hits = (
+        corpus_fps.select(F.col(fp_name).alias("__fp"))
+        .join(F.broadcast(within.select("__fp").distinct()), on="__fp")
+        .distinct()
+    )
+    return within.join(
+        F.broadcast(hits), on="__fp", how="left_anti"
+    ).drop("__fp")
+
+
 # ------------------------------------------------------------ MinHash + LSH
 
 def minhash_signatures(

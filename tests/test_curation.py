@@ -304,3 +304,42 @@ def test_redact_pii_differential_fuzz(spark):
     duck = dict(con.execute(f"SELECT i, {expr} FROM c").fetchall())
     for i, c in enumerate(cases):
         assert duck[i] == got[i], f"case {i}: {c!r}: {duck[i]!r} != {got[i]!r}"
+
+
+def test_select_token_budget(spark):
+    from embulk_filter_expand_json_spark.operators.curation import (
+        select_token_budget,
+    )
+
+    rows = [
+        # (doc_id, score, tokens) — global order: score desc, id asc
+        (1, 0.95, 40),
+        (2, 0.95, 30),   # tie with 1 -> id breaks it
+        (3, 0.90, 50),
+        (4, 0.50, 100),
+        (5, 0.10, 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, tok long")
+
+    def kept(budget, resolution=1000):
+        out = select_token_budget(
+            df, budget, token_col="tok", score_col="score", resolution=resolution
+        )
+        return sorted(r["doc_id"] for r in out.collect())
+
+    # prefix sums: 40, 70, 120, 220, 230
+    assert kept(120) == [1, 2, 3]
+    assert kept(119) == [1, 2]     # doc 3 overflows -> excluded, and so is
+    assert kept(60) == [1]         # everything after (monotone cumsum)
+    assert kept(1000) == [1, 2, 3, 4, 5]  # whole corpus fits
+    assert kept(39) == []          # first doc already overflows
+    # coarse resolution forces the tied pair + doc 3 into ONE boundary
+    # bucket (floor(score*10) = 9): the windowed residual path must still
+    # reproduce the exact global-order prefix
+    assert kept(70, resolution=10) == [1, 2]
+    assert kept(120, resolution=10) == [1, 2, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        select_token_budget(df, 0, token_col="tok", score_col="score")

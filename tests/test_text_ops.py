@@ -486,3 +486,42 @@ def test_minhash_dedup_against(spark, docs_df):
 
     with _pytest.raises(ValueError, match="corpus_df"):
         minhash_dedup_against(new, corpus_sigs=sigs, verify="exact")
+
+
+def test_exact_dedup_against(spark, docs_df):
+    from embulk_filter_expand_json_spark.functions.text import fingerprint
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        exact_dedup_against,
+    )
+
+    new = spark.createDataFrame(
+        [
+            (100, DOCS[0][1]),             # verbatim corpus clone -> drops
+            (101, DOCS[0][1] + " zzz"),    # variant: new fp -> survives
+            (102, "fresh новый content"),  # fresh, planted twice
+            (103, "fresh новый content"),  # within-batch dup -> drops
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in exact_dedup_against(new, docs_df).collect()
+    )
+    assert got == [101, 102]
+
+    # persisted-fingerprint-table mode: corpus text never read
+    fps = docs_df.select(fingerprint(F.col("text")).alias("fp"))
+    got2 = sorted(
+        r["doc_id"]
+        for r in exact_dedup_against(new, corpus_fps=fps).collect()
+    )
+    assert got2 == [101, 102]
+
+    # scale shape: both joins against the corpus-sized side broadcast the
+    # batch-bounded side — no shuffle at corpus cardinality
+    plan = exact_dedup_against(
+        new, corpus_fps=fps
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    with pytest.raises(ValueError, match="corpus_df"):
+        exact_dedup_against(new)
