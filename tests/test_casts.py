@@ -274,3 +274,49 @@ def test_unsupported_tokens_rejected_at_plan_time():
     ):
         with pytest.raises(UnsupportedTimestampFormat):
             validate_ruby_format(fmt)
+
+
+def test_century_tokens_differential_fuzz():
+    """Property check for the %C/%g rewrite across the full supported year
+    range: any (y, m, d) formatted as CCyy-mm-dd must round-trip through
+    %C%y-%m-%d, and any ISO (G, V, u) with G inside the Ruby pivot window
+    (1969-2068) must round-trip its 2-digit form through %g-%V-%u."""
+    import datetime
+    import random
+
+    import pandas as pd
+
+    from embulk_filter_expand_json_spark.functions.timefmt import (
+        parse_timestamp_series,
+    )
+
+    rng = random.Random(20260817)
+    cases = []
+    for _ in range(300):
+        y = rng.randint(1900, 2099)
+        m = rng.randint(1, 12)
+        d = rng.randint(1, 28)
+        cases.append((f"{y // 100:02d}{y % 100:02d}-{m:02d}-{d:02d}",
+                      datetime.date(y, m, d)))
+    parsed, err = parse_timestamp_series(
+        pd.Series([c[0] for c in cases]), "%C%y-%m-%d", "UTC", "1970-01-01"
+    )
+    assert not err.any()
+    for got, (_, want) in zip(parsed, cases):
+        assert got.date() == want, (got, want)
+
+    iso_cases = []
+    for _ in range(300):
+        base = datetime.date(1969, 1, 1) + datetime.timedelta(
+            days=rng.randint(0, 36500)
+        )
+        gy, v, u = base.isocalendar()
+        if not (1969 <= gy <= 2068):
+            continue
+        iso_cases.append((f"{gy % 100:02d}-{v:02d}-{u}", base))
+    parsed, err = parse_timestamp_series(
+        pd.Series([c[0] for c in iso_cases]), "%g-%V-%u", "UTC", "1970-01-01"
+    )
+    assert not err.any()
+    for got, (_, want) in zip(parsed, iso_cases):
+        assert got.date() == want, (got, want)
