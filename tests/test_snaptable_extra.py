@@ -192,3 +192,75 @@ def test_compact_folds_outstanding_deltas(spark, tmp_path):
     state = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
     assert state["doc-0000"] == [42] and "doc-0001" not in state
     assert len(state) == 299
+
+
+def test_signature_store_drives_incremental_dedup(spark, tmp_path):
+    """Layer integration: the MinHash signature table that
+    minhash_dedup_against probes is maintained TRANSACTIONALLY in a
+    SnapTable — exactly-once appends per accepted batch, time travel
+    giving dedup-as-of-any-version. This is the deployment shape the
+    operator docstring promises (signatures 'maintained in a SnapTable
+    ... appended per accepted batch'); here the whole loop runs."""
+    from pyspark.sql import functions as F, types as T
+
+    from embulk_filter_expand_json_spark.operators.dedup_text import (
+        minhash_dedup_against,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "pack my box with five dozen liquor jugs tonight again"),
+        ],
+        "doc_id long, text string",
+    )
+    sig_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("minhash", T.ArrayType(T.LongType())),
+        ]
+    )
+    store = SnapTable(spark, str(tmp_path / "sigs"))
+    store.create(sig_schema, key="doc_id", num_buckets=2)
+    store.merge(minhash_signatures(corpus), epoch=0)
+    v0 = store.manifest()["version"]
+
+    # batch 1: one near-dup of corpus doc 1, one fresh doc
+    batch1 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog every day!"),
+            (11, "completely novel content about container orchestration"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = minhash_dedup_against(
+        batch1, corpus_sigs=store.read(), verify="estimate", threshold=0.8
+    )
+    dup_ids = {r["id_new"] for r in hits.collect()}
+    assert dup_ids == {10}
+
+    # accept the survivors: append their signatures exactly-once
+    survivors = batch1.filter(~F.col("doc_id").isin(list(dup_ids)))
+    store.merge(minhash_signatures(survivors), epoch=1)
+    lineage = store.merge(minhash_signatures(survivors), epoch=1)  # replay
+    assert lineage.get("skipped"), "epoch replay must be a recorded no-op"
+    assert store.read().count() == 3
+
+    # batch 2 collides with the batch-1 ACCEPTED doc -> only visible
+    # through the updated store...
+    batch2 = spark.createDataFrame(
+        [(20, "completely novel content about container orchestration!")],
+        "doc_id long, text string",
+    )
+    hits2 = minhash_dedup_against(
+        batch2, corpus_sigs=store.read(), verify="estimate", threshold=0.8
+    )
+    assert {(r["id_new"], r["id_corpus"]) for r in hits2.collect()} == {(20, 11)}
+
+    # ...and dedup-as-of-v0 (time travel) must NOT see it
+    hits2_v0 = minhash_dedup_against(
+        batch2, corpus_sigs=store.read(version=v0), verify="estimate",
+        threshold=0.8,
+    )
+    assert hits2_v0.count() == 0
