@@ -947,24 +947,24 @@ class SnapTable:
         }
 
     # --------------------------------------------------------- maintenance
-    def compact(self, target_files_per_bucket: int = 1) -> dict:
-        """Bin-pack maintenance: rewrite every bucket down to
-        target_files_per_bucket files (the moral equivalent of Iceberg's
-        rewrite_data_files). State is unchanged; a new snapshot version is
-        published so time-travel to pre-compaction versions still works."""
-        man = self.manifest()
+    def _full_rewrite(
+        self,
+        man: dict,
+        num_buckets: int,
+        target_files_per_bucket: int,
+        prefix: str,
+    ) -> List[dict]:
+        """Rewrite the table's ENTIRE resolved state (base ∪ deltas, LWW)
+        into fresh base files under ``num_buckets`` hash buckets. One job;
+        returns the new manifest file entries. Shared by compact() (same
+        bucket count) and rebucket() (new bucket count)."""
         schema = T.StructType.fromJson(man["schema"])
         key = man["key"]
-        num_buckets = man["num_buckets"]
-        if not man["files"]:
-            return {"compacted": False, "reason": "empty table"}
-        # merged state: folds any outstanding MoR delta files into the new
-        # base files (full-table compaction clears the whole delta stack)
         df = self._state_df(man, schema).withColumn(
             "__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets))
         )
         commit_rel = os.path.join(
-            "data", f"compact{man['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"
+            "data", f"{prefix}{man['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"
         )
         commit_dir = os.path.join(self.path, commit_rel)
         (
@@ -974,7 +974,7 @@ class SnapTable:
             .partitionBy("__bucket")
             .parquet(commit_dir)
         )
-        new_files = [
+        return [
             {
                 "path": posixpath.join(commit_rel, rel),
                 "bucket": int(rel.split("/", 1)[0].split("=", 1)[1]),
@@ -986,6 +986,20 @@ class SnapTable:
             if rel.split("/", 1)[0].startswith("__bucket=")
             and rel.endswith(".parquet")
         ]
+
+    def compact(self, target_files_per_bucket: int = 1) -> dict:
+        """Bin-pack maintenance: rewrite every bucket down to
+        target_files_per_bucket files (the moral equivalent of Iceberg's
+        rewrite_data_files). State is unchanged; a new snapshot version is
+        published so time-travel to pre-compaction versions still works."""
+        man = self.manifest()
+        if not man["files"]:
+            return {"compacted": False, "reason": "empty table"}
+        # merged state: folds any outstanding MoR delta files into the new
+        # base files (full-table compaction clears the whole delta stack)
+        new_files = self._full_rewrite(
+            man, man["num_buckets"], target_files_per_bucket, "compact"
+        )
         old_count = len(man["files"])
         man["files"] = new_files
         man["version"] += 1
@@ -998,6 +1012,66 @@ class SnapTable:
         return {
             "compacted": True,
             "files_before": old_count,
+            "files_after": len(new_files),
+            "version": man["version"],
+        }
+
+    def rebucket(
+        self, new_num_buckets: int, target_files_per_bucket: int = 1
+    ) -> dict:
+        """Bucket-layout evolution — the Iceberg partition-spec-evolution
+        analog for this table's hash layout. The design target is
+        0.25-1 GB per bucket, so a table that grows 100× needs MORE buckets
+        than it was created with (and a pruned-down derived table may want
+        fewer); this rewrites the resolved state (folding any outstanding
+        MoR delta stack) into ``new_num_buckets`` fresh hash buckets and
+        publishes one new snapshot version.
+
+        Everything that keys off the bucket count resolves it from the
+        MANIFEST of the version being read, so the change is transparent:
+        subsequent ``merge()`` epochs stage/rewrite under the new layout,
+        ``lookup()`` hashes probe keys with the new count (time-travel
+        lookups against pre-rebucket versions hash with the OLD count —
+        each manifest owns its layout), the change feed is untouched
+        (change entries are commit-scoped files, not layout-scoped), and
+        ``expire_snapshots`` reclaims the old layout's files once the
+        pre-rebucket versions age out.
+
+        Unlike Iceberg's lazy spec evolution (new spec applies to new data
+        only), this is an eager full rewrite — one job over the table.
+        That is the right trade here because the bucket hash is the
+        engine's MERGE co-location contract: a mixed-layout table would
+        make every subsequent epoch's key-to-file pruning two-layout, and
+        the rewrite is a once-per-100×-growth maintenance event, not a
+        per-epoch cost."""
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        man = self.manifest()
+        old = man["num_buckets"]
+        if new_num_buckets == old:
+            return {"rebucketed": False, "reason": f"already {old} buckets"}
+        old_count = len(man["files"])
+        if man["files"]:
+            new_files = self._full_rewrite(
+                man, new_num_buckets, target_files_per_bucket, "rebucket"
+            )
+        else:
+            new_files = []  # pre-load resize: manifest-only change
+        man["files"] = new_files
+        man["num_buckets"] = new_num_buckets
+        man["version"] += 1
+        man["summary"] = {
+            "op": "rebucket",
+            "buckets_before": old,
+            "buckets_after": new_num_buckets,
+            "files_before": old_count,
+            "files_after": len(new_files),
+        }
+        self._publish(man)
+        return {
+            "rebucketed": True,
+            "buckets_before": old,
+            "buckets_after": new_num_buckets,
             "files_after": len(new_files),
             "version": man["version"],
         }
