@@ -1855,6 +1855,34 @@ def _streaming_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal lookup join: every purchase event enriched with the same
+    user's nearest click at-or-before it — the as-of lookup a CDC consumer
+    runs against time-versioned dimension state. asof_join is the
+    single-shuffle union-merge operator (operators/asof.py: one key-hash
+    exchange, no range-join explosion); the oracle is DuckDB's NATIVE
+    ``ASOF LEFT JOIN``, so the two implementations are fully independent.
+    (user_id, ts) is unique in the events table, satisfying the operator's
+    unique-(key,time) right-side contract."""
+    from embulk_filter_expand_json_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(purchases, clicks, on="user_id", left_time="ts").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("ts_r").alias("click_ts"),
+        "click_value",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: expansion operator on sf0.001 events (drop-source mode)."""
     return _expand_props_long(spark, "/root/testdata/sf0.001")
@@ -1910,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_embeddings": _semdedup_embeddings,
         "sessionize_events": _sessionize_events,
         "sessionize_chunked": _sessionize_chunked,
+        "asof_prior_click": _asof_prior_click,
         "training_pipeline_docs": _training_pipeline_docs,
         "curation_neardup_pipeline": _curation_neardup_pipeline,
         "hash_split_docs": _hash_split_docs,
@@ -2671,6 +2700,18 @@ def oracle_sql() -> dict[str, str]:
               FROM p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
             )
             SELECT bucket, doc_id, n_tok, seq_id FROM p
+        """,
+        "asof_prior_click": """
+            SELECT l.event_id,
+                   l.user_id,
+                   l.ts,
+                   l.value AS purchase_value,
+                   r.ts    AS click_ts,
+                   r.value AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "token_quantiles_by_lang": """
             WITH w AS (
