@@ -1855,6 +1855,46 @@ def _streaming_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _expand_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine (dead-letter) policy for the invalid-record channel:
+    expand_json_split routes bad rows to a side output with a reason
+    instead of dropping (skip) or halting (abort) — the third policy a
+    CDC ingest needs (operators/expand.py flag_invalid_records). Fixture:
+    the shared every-17th-row BROKEN timestamp (cast_error) plus an
+    every-31st-row malformed-JSON overlay (malformed_document, which wins
+    when both fire). Returns the quarantined side; the valid side of the
+    same split is pinned equal to the skip channel by pytest."""
+    from embulk_filter_expand_json_spark.operators.expand import (
+        expand_json_split,
+    )
+
+    src = _ts_json_doc(spark, sf_dir, with_fraction=False)
+    eid = F.col("event_id")
+    src = src.withColumn(
+        "payload",
+        F.when(eid % 31 == 0, F.lit('{"t": broken')).otherwise(
+            F.col("payload")
+        ),
+    )
+    _valid, quar = expand_json_split(
+        src,
+        {
+            "json_column_name": "payload",
+            "expanded_columns": [
+                {
+                    "name": "t",
+                    "type": "timestamp",
+                    "format": "%Y-%m-%d %H:%M:%S",
+                    "timezone": "Asia/Tokyo",
+                },
+                {"name": "j", "type": "json"},
+            ],
+        },
+        mode="catalyst",
+    )
+    return quar.select("event_id", "_invalid_reason")
+
+
 def _asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal lookup join: every purchase event enriched with the same
     user's nearest click at-or-before it — the as-of lookup a CDC consumer
@@ -1939,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "sessionize_chunked": _sessionize_chunked,
         "asof_prior_click": _asof_prior_click,
+        "expand_quarantine": _expand_quarantine,
         "training_pipeline_docs": _training_pipeline_docs,
         "curation_neardup_pipeline": _curation_neardup_pipeline,
         "hash_split_docs": _hash_split_docs,
@@ -2700,6 +2741,13 @@ def oracle_sql() -> dict[str, str]:
               FROM p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
             )
             SELECT bucket, doc_id, n_tok, seq_id FROM p
+        """,
+        "expand_quarantine": """
+            SELECT event_id,
+                   CASE WHEN event_id % 31 = 0 THEN 'malformed_document'
+                        ELSE 'cast_error' END AS _invalid_reason
+            FROM events
+            WHERE event_id % 31 = 0 OR event_id % 17 = 0
         """,
         "asof_prior_click": """
             SELECT l.event_id,

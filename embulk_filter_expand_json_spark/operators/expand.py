@@ -108,6 +108,179 @@ def expand_json(
     return _expand_arrow(df, plan, metrics)
 
 
+def flag_invalid_records(
+    df: DataFrame,
+    config: Union[ExpandConfig, Mapping, ExpandPlan],
+    mode: str = "auto",
+) -> DataFrame:
+    """Classify every input row against the expansion plan WITHOUT running
+    it: returns the input plus ``_invalid`` (boolean) and
+    ``_invalid_reason`` ('malformed_document' | 'cast_error' | NULL).
+
+    This is the audit/dead-letter building block: the reference's channel
+    is binary (drop or abort, FilteredPageOutput.java:247-264); a CDC
+    ingest at scale additionally needs the QUARANTINE policy — bad change
+    records routed to a side table with a reason, never silently dropped
+    and never halting the stream. Classification never aborts, whatever
+    the plan's malformed_json_policy says — capturing the bad row is the
+    point.
+
+    Validity is decided by the SAME cast kernels the expansion paths use
+    (``_catalyst_cast`` / ``apply_cast``), so filter(~_invalid) +
+    expand_json is exactly the rows expand_json's skip channel would keep
+    (pinned by tests). Catalyst-eligible plans compile to one pure-JVM
+    projection (zero Python); indefinite paths take one Arrow pass.
+    """
+    plan, compiled = _normalize_plan(df, config)
+    for reserved in ("_invalid", "_invalid_reason"):
+        if reserved in df.columns:
+            raise ValueError(f"input already has a {reserved!r} column")
+    if mode not in ("auto", "catalyst", "arrow"):
+        raise ValueError(f"unknown mode {mode!r}")
+    use_catalyst = mode == "catalyst" or (
+        mode == "auto" and _catalyst_eligible(plan, compiled)
+    )
+    if mode == "catalyst" and not _catalyst_eligible(plan, compiled):
+        raise ValueError(
+            "mode='catalyst' requested but the plan needs the Arrow path"
+        )
+    if use_catalyst:
+        session_tz = df.sparkSession.conf.get(
+            "spark.sql.session.timeZone", "UTC"
+        )
+        doc = F.col(plan.json_column_name)
+        if plan.source_is_json_typed:
+            doc = F.to_json(doc)
+        malformed = (
+            doc.isNotNull()
+            & (doc != F.lit(""))
+            & F.get_json_object(doc, "$").isNull()
+        )
+        doc_ok = F.when(malformed, F.lit(None).cast("string")).otherwise(doc)
+        cast_err: Column = F.lit(False)
+        for spec, cp in zip(plan.specs, compiled):
+            ext = F.get_json_object(doc_ok, _gjo_path(cp))
+            _val, e = _catalyst_cast(ext, spec, session_tz)
+            cast_err = cast_err | e
+        reason = F.when(malformed, F.lit("malformed_document")).when(
+            cast_err, F.lit("cast_error")
+        )
+        return df.select(
+            "*",
+            (malformed | cast_err).alias("_invalid"),
+            reason.alias("_invalid_reason"),
+        )
+    return _flag_invalid_arrow(df, plan)
+
+
+def _flag_invalid_arrow(df: DataFrame, plan: ExpandPlan) -> DataFrame:
+    """Arrow classification pass: one mapInPandas over the input, emitting
+    the input columns plus the flag/reason — the same parse + JsonPath +
+    vectorized-cast error logic as _expand_arrow, values discarded."""
+    specs = tuple(plan.specs)
+    json_col = plan.json_column_name
+    src_df = df
+    if plan.source_is_json_typed:
+        json_col = "__expand_doc_json"
+        src_df = df.withColumn(
+            json_col, F.to_json(F.col(plan.json_column_name))
+        )
+    in_cols = df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("_invalid", T.BooleanType(), False),
+            T.StructField("_invalid_reason", T.StringType(), True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        compiled = [compile_path(s.json_path) for s in specs]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            docs = pdf[json_col].tolist()
+            parsed: list = [None] * n
+            malformed_mask = np.zeros(n, dtype=bool)
+            for i, d in enumerate(docs):
+                if d is None or d == "" or d is pd.NA:
+                    continue
+                try:
+                    parsed[i] = loads_strict(d)
+                except ValueError:
+                    malformed_mask[i] = True
+            cast_mask = np.zeros(n, dtype=bool)
+            for spec, cp in zip(specs, compiled):
+                vals = [
+                    stringify_extracted(cp.read(p)) if p is not None else None
+                    for p in parsed
+                ]
+                s = pd.Series(vals, index=pdf.index, dtype="object")
+                _casted, cerr = apply_cast(
+                    s,
+                    spec.type,
+                    ruby_format=spec.timestamp_format,
+                    timezone=spec.timezone,
+                    default_date=spec.date,
+                )
+                cast_mask |= np.asarray(cerr, dtype=bool)
+            res = pdf[in_cols].copy()
+            res["_invalid"] = malformed_mask | cast_mask
+            reason = np.where(
+                malformed_mask,
+                "malformed_document",
+                np.where(cast_mask, "cast_error", None),
+            )
+            res["_invalid_reason"] = pd.Series(
+                reason, index=pdf.index, dtype="object"
+            )
+            yield res
+
+    return src_df.mapInPandas(fn, out_schema)
+
+
+def expand_json_split(
+    df: DataFrame,
+    config: Union[ExpandConfig, Mapping, ExpandPlan],
+    mode: str = "auto",
+) -> tuple:
+    """Quarantine split — the dead-letter-queue policy for the invalid
+    record channel: ``(valid, quarantined)`` where ``valid`` is exactly
+    ``expand_json``'s skip-channel output and ``quarantined`` is the
+    ORIGINAL input rows that channel would have dropped, plus
+    ``_invalid_reason``. Neither side aborts, whatever the config's
+    stop/malformed policy says — quarantine IS the policy.
+
+    Both sides derive from one classification (a pure projection), so the
+    predicate is deterministic across the two actions; callers reading
+    both sides should persist the input upstream if its scan is
+    expensive. At the 100 TB CDC target the quarantined side is merged
+    into its own SnapTable alongside the main apply (see
+    CdcPipeline's invalid accounting) so bad producer payloads are
+    replayable after a fix instead of gone."""
+    plan, _ = _normalize_plan(df, config)
+    flagged = flag_invalid_records(df, plan, mode=mode)
+    quarantined = flagged.filter(F.col("_invalid")).drop("_invalid")
+    ok = flagged.filter(~F.col("_invalid")).drop("_invalid", "_invalid_reason")
+    import dataclasses
+
+    safe_plan = dataclasses.replace(
+        plan, stop_on_invalid_record=False, malformed_json_policy="invalid_record"
+    )
+    return expand_json(ok, safe_plan, mode=mode), quarantined
+
+
+def _normalize_plan(df: DataFrame, config) -> tuple:
+    if isinstance(config, ExpandPlan):
+        plan = config
+    else:
+        if isinstance(config, Mapping):
+            config = ExpandConfig.from_dict(config)
+        plan = plan_expansion(config, df.schema)
+    return plan, [compile_path(s.json_path) for s in plan.specs]
+
+
 # ---------------------------------------------------------------------------
 # Catalyst fast path
 # ---------------------------------------------------------------------------
