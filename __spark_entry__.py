@@ -439,6 +439,7 @@ _KNN_PLANTED_ORACLE = """
 _ORACLE_TMP = f"/tmp/spark_graft_oracle_{os.getuid()}"
 _CDC_ORACLE_LOG = f"{_ORACLE_TMP}/cdc_log"
 _STREAM_ORACLE_LOG = f"{_ORACLE_TMP}/stream_log"
+_DLQ_ORACLE_LOG = f"{_ORACLE_TMP}/dlq_log"
 
 
 def _replay_oracle_sql(log_path: str) -> str:
@@ -1855,6 +1856,47 @@ def _streaming_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter table after a full replay: run the engine with
+    quarantine_path set over a deterministic change stream with cranked
+    corruption rates, return the quarantine SnapTable's contents. The
+    oracle replays the generator's plant rules in SQL over the same
+    materialized log — reason precedence matches the engine (payload NULL
+    → null_merge_key; unparseable → malformed_document; bad tokens type →
+    cast_error; else missing doc_id → null_merge_key)."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count(), 2_000)
+    work = tempfile.mkdtemp(prefix="dlq_entry_")
+    shutil.rmtree(_DLQ_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=13,
+            p_malformed=0.01,
+            p_badtype=0.02,
+        )
+        write_changes(spark, cfg, _DLQ_ORACLE_LOG)
+        pipe = CdcPipeline(
+            spark,
+            _DLQ_ORACLE_LOG,
+            os.path.join(work, "table"),
+            num_buckets=8,
+            quarantine_path=os.path.join(work, "dlq"),
+        )
+        pipe.run()
+        out = pipe.quarantine.read().select("log_offset", "op", "_invalid_reason")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _expand_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine (dead-letter) policy for the invalid-record channel:
     expand_json_split routes bad rows to a side output with a reason
@@ -1980,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_chunked": _sessionize_chunked,
         "asof_prior_click": _asof_prior_click,
         "expand_quarantine": _expand_quarantine,
+        "cdc_quarantine": _cdc_quarantine,
         "training_pipeline_docs": _training_pipeline_docs,
         "curation_neardup_pipeline": _curation_neardup_pipeline,
         "hash_split_docs": _hash_split_docs,
@@ -2741,6 +2784,25 @@ def oracle_sql() -> dict[str, str]:
               FROM p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
             )
             SELECT bucket, doc_id, n_tok, seq_id FROM p
+        """,
+        "cdc_quarantine": f"""
+            WITH log AS (
+              SELECT * FROM read_parquet('{_DLQ_ORACLE_LOG}/epoch=*/*.parquet',
+                                         hive_partitioning=1)
+            )
+            SELECT log_offset, op,
+                   CASE WHEN payload IS NULL THEN 'null_merge_key'
+                        WHEN NOT json_valid(payload) THEN 'malformed_document'
+                        WHEN json_type(payload, '$.tokens') = 'VARCHAR'
+                             THEN 'cast_error'
+                        WHEN json_extract_string(payload, '$.doc_id') IS NULL
+                             THEN 'null_merge_key'
+                   END AS _invalid_reason
+            FROM log
+            WHERE payload IS NULL
+               OR NOT json_valid(payload)
+               OR json_type(payload, '$.tokens') = 'VARCHAR'
+               OR json_extract_string(payload, '$.doc_id') IS NULL
         """,
         "expand_quarantine": """
             SELECT event_id,

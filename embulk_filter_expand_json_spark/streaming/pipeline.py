@@ -60,6 +60,8 @@ class EpochMetrics:
     deletes: int = 0
     upserts: int = 0
     dedup_dropped: int = 0
+    quarantined: int = 0
+    rebucketed_to: Optional[int] = None
     evolved_columns: List[str] = field(default_factory=list)
     buckets_touched: int = 0
     skipped: bool = False
@@ -91,6 +93,8 @@ class CdcPipeline:
         changelog: bool = False,
         changelog_keep: int = 64,
         expected_columns: Sequence[str] = (),
+        quarantine_path: Optional[str] = None,
+        auto_rebucket_bytes: Optional[int] = None,
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -111,6 +115,28 @@ class CdcPipeline:
         #: growth is O(epochs * table size). None = retain everything
         #: (explicit maintenance via SnapTable.expire_snapshots).
         self.gc_keep_snapshots = gc_keep_snapshots
+        #: dead-letter table (opt-in): every change record the epoch would
+        #: silently drop — malformed document, failed cast, NULL merge key —
+        #: is MERGEd (same epoch number, exactly-once) into a side SnapTable
+        #: keyed by log_offset, with an _invalid_reason column. Bad producer
+        #: payloads stay replayable after a producer fix instead of being
+        #: gone. The main path's plan is untouched: quarantine runs as its
+        #: own classification pass over the epoch slice (a pure-JVM
+        #: projection, operators/expand.py flag_invalid_records), committed
+        #: BEFORE the main merge so a crash between the two replays the
+        #: epoch with the quarantine commit a recorded no-op.
+        self.quarantine = (
+            SnapTable(spark, quarantine_path) if quarantine_path else None
+        )
+        #: bucket-layout growth policy (opt-in): after a commit, when the
+        #: table's mean BASE bytes per bucket exceed this target, the
+        #: layout doubles via SnapTable.rebucket. This automates the
+        #: design rule that bucket count grows with table size (target
+        #: 0.25-1 GB/bucket at 100 TB) for replays whose table grows
+        #: orders of magnitude past its create-time sizing — the decision
+        #: is manifest-metadata-only per epoch; the rewrite itself is a
+        #: once-per-doubling maintenance job, amortized O(1) per row.
+        self.auto_rebucket_bytes = auto_rebucket_bytes
         # lineage log rides the same TableFS as the table's manifests, so
         # a URI table_path keeps the checkpoint next to the table. Object
         # stores can't append — TableFS.append_text read-modify-writes
@@ -229,6 +255,9 @@ class CdcPipeline:
             self._append_lineage(m)
             return m
 
+        if self.quarantine is not None:
+            m.quarantined = self._quarantine_epoch(changes, epoch)
+
         if self.use_observations:
             # ---- single-pass epoch: every side-aggregate (schema-drift
             # flag, offset range, invalid/dedup counts, touched-bucket set)
@@ -269,6 +298,16 @@ class CdcPipeline:
             result = self._run_merge(changes, epoch, m, detect_drift=False)
         m.skipped = result.get("skipped", False)
         m.buckets_touched = result.get("buckets_touched", 0)
+        if self.auto_rebucket_bytes is not None and not m.skipped:
+            man = self.table.manifest()
+            base_bytes = sum(
+                f.get("bytes", 0)
+                for f in man["files"]
+                if f.get("kind", "base") == "base"
+            )
+            if base_bytes > self.auto_rebucket_bytes * man["num_buckets"]:
+                r = self.table.rebucket(man["num_buckets"] * 2)
+                m.rebucketed_to = r["buckets_after"]
         if self.gc_keep_snapshots is not None and not m.skipped:
             # inline maintenance (the Iceberg expire_snapshots analog): a
             # metadata-only filesystem walk, no Spark job
@@ -276,6 +315,62 @@ class CdcPipeline:
         m.wall_sec = time.time() - t0
         self._append_lineage(m)
         return m
+
+    def _quarantine_epoch(self, changes: DataFrame, epoch: int) -> int:
+        """Merge this epoch's would-be-dropped change records into the
+        dead-letter table; returns the quarantined row count (it rides the
+        merge's own stage job as an Observation — no extra scan).
+
+        Three reasons, matching exactly what the main path drops:
+        ``malformed_document`` / ``cast_error`` (the expansion operator's
+        invalid-record channel, decided by the same cast kernels) and
+        ``null_merge_key`` (rows the pipeline filters because the payload
+        has no doc_id). Runs its own pass over the epoch slice — at the
+        10^10 target that is one extra partition-pruned scan per epoch,
+        the price of the opt-in; the main path's pinned single-pass plan
+        is untouched."""
+        from pyspark.sql import Observation
+
+        from embulk_filter_expand_json_spark.operators.expand import (
+            flag_invalid_records,
+        )
+
+        extra_cols = [
+            f.name
+            for f in self.table.schema().fields
+            if f.name not in _BASE_KEYS
+        ]
+        cfg = self._expand_config(extra_cols)
+        flagged = flag_invalid_records(changes, cfg, mode="auto")
+        no_key = F.get_json_object("payload", "$.doc_id").isNull()
+        quar = (
+            flagged.filter(F.col("_invalid") | no_key)
+            .withColumn(
+                "_invalid_reason",
+                F.coalesce("_invalid_reason", F.lit("null_merge_key")),
+            )
+            .drop("_invalid")
+        )
+        if not self.quarantine.exists():
+            self.quarantine.create(
+                T.StructType(
+                    list(changes.schema.fields)
+                    + [T.StructField("_invalid_reason", T.StringType(), True)]
+                ),
+                key=self.order,
+                num_buckets=8,
+                properties={"quarantine": True},
+            )
+        obs = None
+        if self.collect_metrics and self.use_observations:
+            # foreachBatch path: Observations never resolve there (see
+            # __init__), so the count is simply not collected
+            obs = Observation()
+            quar = quar.observe(obs, F.count(F.lit(1)).alias("n"))
+        res = self.quarantine.merge(quar, epoch=epoch)
+        if res.get("skipped") or obs is None:
+            return 0
+        return obs.get["n"]
 
     def _evolve(self, changes: DataFrame, m: EpochMetrics) -> None:
         new_keys = self._scan_new_keys(changes)

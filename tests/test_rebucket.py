@@ -150,6 +150,50 @@ def test_rebucket_empty_table_is_manifest_only(spark, tmp_path):
     assert t.lookup(["a"]).count() == 1
 
 
+def test_pipeline_auto_rebucket_grows_layout(spark, tmp_path):
+    """CdcPipeline(auto_rebucket_bytes=...) doubles the bucket count when
+    mean base bytes/bucket pass the target — and the replay's final state,
+    epoch watermark, and change feed stay identical to a fixed-layout
+    run."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    cfg = ChangeGenConfig(n_events=2_000, n_docs=200, batch_size=500, seed=3)
+    log = str(tmp_path / "log")
+    write_changes(spark, cfg, log)
+
+    auto = CdcPipeline(
+        spark,
+        log,
+        str(tmp_path / "auto"),
+        num_buckets=2,
+        changelog=True,
+        auto_rebucket_bytes=4096,  # tiny target: forces growth mid-replay
+    )
+    metrics = auto.run()
+    grown = [m.rebucketed_to for m in metrics if m.rebucketed_to]
+    assert grown, "the tiny byte target must trigger at least one doubling"
+    assert auto.table.manifest()["num_buckets"] == 2 * 2 ** len(grown)
+
+    fixed = CdcPipeline(spark, log, str(tmp_path / "fixed"), num_buckets=2)
+    fixed.run()
+    assert sorted(map(tuple, auto.table.read().collect())) == sorted(
+        map(tuple, fixed.table.read().collect())
+    )
+    # watermark + feed survive the mid-replay layout changes
+    assert auto.last_committed_epoch() == fixed.last_committed_epoch()
+    assert auto.table.read_changes(0).count() > 0
+    # resume is still exactly-once
+    again = CdcPipeline(
+        spark, log, str(tmp_path / "auto"), num_buckets=2,
+        changelog=True, auto_rebucket_bytes=4096,
+    )
+    assert all(m.skipped for m in again.run())
+
+
 def test_expire_reclaims_old_layout(spark, loaded):
     t = loaded
     old_paths = {f["path"] for f in t.manifest()["files"]}
