@@ -515,6 +515,120 @@ class SnapTable:
             out = out.unionByName(fr)
         return out
 
+    def read_where(
+        self, col: str, lo=None, hi=None, version: Optional[int] = None
+    ) -> DataFrame:
+        """State restricted to ``lo <= col <= hi`` (either bound may be
+        None), with FILE-LEVEL pruning from the manifest's recorded
+        column stats — Iceberg's data-skipping on a non-key column,
+        layered UNDER the existing bucket pruning. Requires table property
+        ``stats_columns`` including ``col`` (see merge()); files with no
+        recorded stats are conservatively read.
+
+        Correctness under merge-on-read: only BASE files are pruned — the
+        full delta stack of a dirty bucket always participates, because
+        LWW resolution needs every commit's row for a key (pruning deltas
+        by value could resurrect an older version whose newer winner lies
+        outside the range). The exact predicate is applied after the
+        merge, so pruning can never change the answer, only the files
+        read — pinned by a randomized equality test against
+        read().filter()."""
+        man = self.manifest(version)
+        schema = T.StructType.fromJson(man["schema"])
+        kept = [
+            f
+            for f in man["files"]
+            if f.get("kind", "base") == "delta"
+            or self._stats_intersect(f, col, lo, hi)
+        ]
+        pruned_man = dict(man, files=kept)
+        out = self._state_df(pruned_man, schema)
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        return out.filter(pred)
+
+    def prune_preview(self, col: str, lo=None, hi=None) -> dict:
+        """Observability/test hook: how many base files read_where(col,
+        lo, hi) would read vs the total (delta files always read)."""
+        files = [
+            f
+            for f in self.manifest()["files"]
+            if f.get("kind", "base") == "base"
+        ]
+        kept = [f for f in files if self._stats_intersect(f, col, lo, hi)]
+        return {"base_files": len(files), "base_files_read": len(kept)}
+
+    @staticmethod
+    def _stats_intersect(f: dict, col: str, lo, hi) -> bool:
+        st = f.get("stats", {}).get(col)
+        if st is None:
+            return True  # no stats recorded: never prune blindly
+        fmin, fmax, has_null = st
+        if fmin is None or fmax is None:
+            # all-null file: can't satisfy a range predicate on col, but a
+            # NULL-tolerant caller gets it via lo=hi=None
+            return lo is None and hi is None
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+        return True
+
+    #: JSON-safe stat value types; anything else (timestamps, decimals,
+    #: binary) is skipped — stats are an optimization, never a gate
+    _STAT_TYPES = (int, float, str)
+
+    def _attach_stats(self, entries: List[dict], cols: List[str]) -> None:
+        """Record per-file min/max/has-null for the declared stats columns
+        by reading each new BASE file's parquet footer (driver-side, one
+        footer per new file per commit — the price of the opt-in
+        ``stats_columns`` property; Iceberg collects the same stats in the
+        writer). Mutates the entries in place."""
+        import pyarrow.parquet as pq
+
+        for e in entries:
+            if e.get("kind", "base") != "base":
+                continue
+            try:
+                md = pq.read_metadata(self.fs.open_input(self._mpath(e["path"])))
+            except Exception:
+                continue
+            names = md.schema.names
+            stats: dict = {}
+            for c in cols:
+                if c not in names:
+                    continue
+                i = names.index(c)
+                mn = mx = None
+                has_null = False
+                ok = True
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(i).statistics
+                    if s is None or not s.has_min_max:
+                        if s is not None and (s.null_count or 0) > 0 and (
+                            md.row_group(rg).num_rows == s.null_count
+                        ):
+                            has_null = True
+                            continue  # all-null row group: no min/max is fine
+                        ok = False
+                        break
+                    if not isinstance(s.min, self._STAT_TYPES) or not isinstance(
+                        s.max, self._STAT_TYPES
+                    ):
+                        ok = False
+                        break
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+                    if (s.null_count or 0) > 0:
+                        has_null = True
+                if ok:
+                    stats[c] = [mn, mx, has_null]
+            if stats:
+                e["stats"] = stats
+
     def _referenced_paths(self, man: dict) -> set:
         """Data-file paths a manifest keeps alive: the snapshot's base/delta
         files AND its retained change-feed entries' files."""
@@ -858,6 +972,10 @@ class SnapTable:
                 and rel.endswith(".parquet")
             )
 
+        stats_cols = props.get("stats_columns")
+        if stats_cols:
+            self._attach_stats(new_files, list(stats_cols))
+
         man["files"] = keep_files + new_files
         man["last_committed_epoch"] = epoch
         man["version"] += 1
@@ -974,7 +1092,7 @@ class SnapTable:
             .partitionBy("__bucket")
             .parquet(commit_dir)
         )
-        return [
+        entries = [
             {
                 "path": posixpath.join(commit_rel, rel),
                 "bucket": int(rel.split("/", 1)[0].split("=", 1)[1]),
@@ -986,6 +1104,10 @@ class SnapTable:
             if rel.split("/", 1)[0].startswith("__bucket=")
             and rel.endswith(".parquet")
         ]
+        stats_cols = man.get("properties", {}).get("stats_columns")
+        if stats_cols:
+            self._attach_stats(entries, list(stats_cols))
+        return entries
 
     def compact(self, target_files_per_bucket: int = 1) -> dict:
         """Bin-pack maintenance: rewrite every bucket down to
