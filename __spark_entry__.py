@@ -1856,6 +1856,18 @@ def _streaming_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _top_ngrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the 10 most frequent word trigrams per language
+    (operators/curation.py top_ngrams — salted-tournament top-k, so no
+    language's full distinct-gram distribution ever lands on one task).
+    Deterministic tie order (count desc, gram asc) makes the oracle's
+    global window bit-comparable."""
+    from embulk_filter_expand_json_spark.operators.curation import top_ngrams
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return top_ngrams(docs, n=3, k=10, by="lang", min_count=2)
+
+
 def _cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter table after a full replay: run the engine with
     quarantine_path set over a deterministic change stream with cranked
@@ -2023,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_prior_click": _asof_prior_click,
         "expand_quarantine": _expand_quarantine,
         "cdc_quarantine": _cdc_quarantine,
+        "top_ngrams_by_lang": _top_ngrams_by_lang,
         "training_pipeline_docs": _training_pipeline_docs,
         "curation_neardup_pipeline": _curation_neardup_pipeline,
         "hash_split_docs": _hash_split_docs,
@@ -2784,6 +2797,29 @@ def oracle_sql() -> dict[str, str]:
               FROM p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
             )
             SELECT bucket, doc_id, n_tok, seq_id FROM p
+        """,
+        "top_ngrams_by_lang": r"""
+            WITH w AS (
+              SELECT lang,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM documents
+            ), i AS (
+              SELECT lang, ws,
+                     unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS i
+              FROM w
+            ), g AS (
+              SELECT lang, array_to_string(ws[i:i+2], ' ') AS gram FROM i
+            ), c AS (
+              SELECT lang, gram, count(*) AS cnt
+              FROM g GROUP BY 1, 2 HAVING count(*) >= 2
+            ), r AS (
+              SELECT lang, gram, cnt,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY cnt DESC, gram
+                     ) AS rank
+              FROM c
+            )
+            SELECT lang, gram, cnt, rank FROM r WHERE rank <= 10
         """,
         "cdc_quarantine": f"""
             WITH log AS (

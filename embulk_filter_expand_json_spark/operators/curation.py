@@ -289,3 +289,60 @@ def pack_sequences(
         return pdf
 
     return slim.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate mining: corpus-level most-frequent n-grams
+# ---------------------------------------------------------------------------
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 10,
+    by: str = "lang",
+    text_col: str = "text",
+    min_count: int = 2,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """The k most frequent word n-grams per group — the C4/RefinedWeb
+    boilerplate-mining diagnostic (what repeated phrases dominate a
+    corpus slice before you write removal rules for them).
+
+    Returns (``by``, gram, cnt, rank) with rank 1..k per group, ordered
+    by (count desc, gram asc) so ties are deterministic and
+    oracle-replicable.
+
+    100 TB shape: explode -> ONE two-phase hash aggregate on
+    (group, gram) (map-side combine absorbs each partition's repeats, and
+    the composite key means a hot group does not serialize onto one
+    reducer), then a SALTED TOURNAMENT for the top-k: a first window over
+    (group, xxhash64(gram) % salt_buckets) keeps k rows per salt, a
+    second window picks the global k from those salt_buckets*k finalists.
+    Each gram lives in exactly one salt bucket, so the two-level result
+    is exact — and no single task ever sees more than one salt bucket's
+    gram counts, where the naive per-group window would pull a language's
+    entire distinct-gram distribution (billions at corpus scale) into one
+    partition. ``min_count`` pre-drops the singleton long tail before any
+    window runs."""
+    grams = df.select(
+        F.col(by), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    counts = (
+        grams.groupBy(by, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    w1 = Window.partitionBy(
+        by, F.pmod(F.xxhash64("gram"), F.lit(salt_buckets))
+    ).orderBy(F.desc("cnt"), F.asc("gram"))
+    finalists = (
+        counts.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(by).orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        finalists.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(by, "gram", "cnt", "rank")
+    )

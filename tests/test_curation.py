@@ -343,3 +343,38 @@ def test_select_token_budget(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         select_token_budget(df, 0, token_col="tok", score_col="score")
+
+
+def test_top_ngrams_tournament_is_exact(spark):
+    """The salted two-level top-k equals the naive single-window top-k
+    (every gram lives in exactly one salt bucket, so pruning to k per
+    bucket can never evict a global top-k gram)."""
+    import random
+
+    from pyspark.sql import Window
+    from embulk_filter_expand_json_spark.operators.curation import top_ngrams
+    from embulk_filter_expand_json_spark.functions.text import word_ngrams
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (f"l{rng.randrange(3)}", " ".join(rng.choices(vocab, k=rng.randrange(2, 40))))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = top_ngrams(df, n=2, k=5, by="lang", min_count=1, salt_buckets=7)
+
+    naive = (
+        df.select(F.col("lang"), F.explode(word_ngrams(F.col("text"), 2)).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram")))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= 5)
+        .select("lang", "gram", "cnt", "rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
