@@ -440,6 +440,7 @@ _ORACLE_TMP = f"/tmp/spark_graft_oracle_{os.getuid()}"
 _CDC_ORACLE_LOG = f"{_ORACLE_TMP}/cdc_log"
 _STREAM_ORACLE_LOG = f"{_ORACLE_TMP}/stream_log"
 _DLQ_ORACLE_LOG = f"{_ORACLE_TMP}/dlq_log"
+_ASOF_ORACLE_LOG = f"{_ORACLE_TMP}/asof_log"
 
 
 def _replay_oracle_sql(log_path: str) -> str:
@@ -1856,6 +1857,68 @@ def _streaming_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _cdc_enrich_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal enrichment end-to-end: replay a change stream into a
+    SnapTable with the change feed on, then ask — for a deterministic
+    probe set of doc_ids, just after EVERY merge commit — what each doc's
+    row looked like at that instant (streaming/temporal.py enrich_as_of:
+    change feed + broadcast commit history + the single-exchange as-of
+    join; no base-file scans). Declaring lang upfront keeps version
+    numbering deterministic (no evolve commits), and probe times are each
+    commit's wall clock + epsilon, so the oracle can replay the same
+    question as max-offset-per-(doc, epoch-prefix) over the materialized
+    log — deleted-at-that-instant docs carry NULL payloads on both
+    sides."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+    from embulk_filter_expand_json_spark.streaming.temporal import enrich_as_of
+
+    n_events = max(_events(spark, sf_dir).count(), 2_000)
+    work = tempfile.mkdtemp(prefix="asof_entry_")
+    shutil.rmtree(_ASOF_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=21,
+        )
+        write_changes(spark, cfg, _ASOF_ORACLE_LOG)
+        pipe = CdcPipeline(
+            spark,
+            _ASOF_ORACLE_LOG,
+            os.path.join(work, "table"),
+            num_buckets=8,
+            changelog=True,
+            expected_columns=["lang"],
+        )
+        pipe.run()
+        t = pipe.table
+
+        ids = sorted(
+            r["doc_id"]
+            for r in t.read_changes(0).select("doc_id").distinct().collect()
+        )[:50] + ["doc-miss"]
+        merges = [
+            (int(h["summary"]["epoch"]), float(h["committed_at"]))
+            for h in t.history()
+            if h["summary"].get("op") == "merge"
+        ]
+        events = spark.createDataFrame(
+            [(e, d, ts + 1e-4) for e, ts in merges for d in ids],
+            "probe_epoch long, doc_id string, ts double",
+        )
+        out = enrich_as_of(events, t, on="doc_id", event_time="ts").select(
+            "probe_epoch", "doc_id", "n_tok", "source", "lang"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _top_ngrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate mining: the 10 most frequent word trigrams per language
     (operators/curation.py top_ngrams — salted-tournament top-k, so no
@@ -2036,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expand_quarantine": _expand_quarantine,
         "cdc_quarantine": _cdc_quarantine,
         "top_ngrams_by_lang": _top_ngrams_by_lang,
+        "cdc_enrich_asof": _cdc_enrich_asof,
         "training_pipeline_docs": _training_pipeline_docs,
         "curation_neardup_pipeline": _curation_neardup_pipeline,
         "hash_split_docs": _hash_split_docs,
@@ -2797,6 +2861,46 @@ def oracle_sql() -> dict[str, str]:
               FROM p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1
             )
             SELECT bucket, doc_id, n_tok, seq_id FROM p
+        """,
+        "cdc_enrich_asof": f"""
+            WITH log AS (
+              SELECT * FROM read_parquet('{_ASOF_ORACLE_LOG}/epoch=*/*.parquet',
+                                         hive_partitioning=1)
+            ), valid AS (
+              SELECT log_offset, CAST(epoch AS BIGINT) AS epoch, op,
+                     json_extract_string(payload, '$.doc_id') AS doc_id,
+                     CAST(json_extract_string(payload, '$.n_tok') AS INT)
+                       AS n_tok,
+                     json_extract_string(payload, '$.source') AS source,
+                     json_extract_string(payload, '$.lang') AS lang
+              FROM log
+              WHERE json_valid(payload)
+                AND (json_type(payload, '$.tokens') IS DISTINCT FROM 'VARCHAR'
+                     OR json_valid(json_extract_string(payload, '$.tokens')))
+            ), vk AS (
+              SELECT * FROM valid WHERE doc_id IS NOT NULL
+            ), probe_ids AS (
+              SELECT doc_id FROM (
+                SELECT DISTINCT doc_id FROM vk ORDER BY doc_id LIMIT 50
+              ) UNION ALL SELECT 'doc-miss'
+            ), probes AS (
+              SELECT e.epoch AS probe_epoch, p.doc_id
+              FROM (SELECT DISTINCT CAST(epoch AS BIGINT) AS epoch FROM log) e
+              CROSS JOIN probe_ids p
+            ), joined AS (
+              SELECT p.probe_epoch, p.doc_id, v.op, v.n_tok, v.source, v.lang,
+                     row_number() OVER (
+                       PARTITION BY p.probe_epoch, p.doc_id
+                       ORDER BY v.log_offset DESC
+                     ) AS rn
+              FROM probes p LEFT JOIN vk v
+                ON v.doc_id = p.doc_id AND v.epoch <= p.probe_epoch
+            )
+            SELECT probe_epoch, doc_id,
+                   CASE WHEN op = 'D' THEN NULL ELSE n_tok END AS n_tok,
+                   CASE WHEN op = 'D' THEN NULL ELSE source END AS source,
+                   CASE WHEN op = 'D' THEN NULL ELSE lang END AS lang
+            FROM joined WHERE rn = 1
         """,
         "top_ngrams_by_lang": r"""
             WITH w AS (
