@@ -95,6 +95,7 @@ class CdcPipeline:
         expected_columns: Sequence[str] = (),
         quarantine_path: Optional[str] = None,
         auto_rebucket_bytes: Optional[int] = None,
+        stats_columns: Sequence[str] = (),
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -178,6 +179,13 @@ class CdcPipeline:
                     # (SnapTable.read_changes) instead of diffing snapshots
                     "changelog": changelog,
                     "changelog_keep": changelog_keep,
+                    # column-stats file skipping (SnapTable.read_where):
+                    # min/max recorded per new base file for these columns
+                    **(
+                        {"stats_columns": list(stats_columns)}
+                        if stats_columns
+                        else {}
+                    ),
                 },
             )
 

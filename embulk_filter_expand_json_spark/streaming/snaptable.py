@@ -1071,11 +1071,20 @@ class SnapTable:
         num_buckets: int,
         target_files_per_bucket: int,
         prefix: str,
+        cluster_by: Optional[str] = None,
     ) -> List[dict]:
         """Rewrite the table's ENTIRE resolved state (base ∪ deltas, LWW)
         into fresh base files under ``num_buckets`` hash buckets. One job;
         returns the new manifest file entries. Shared by compact() (same
-        bucket count) and rebucket() (new bucket count)."""
+        bucket count) and rebucket() (new bucket count).
+
+        ``target_files_per_bucket > 1`` splits each bucket by RANGE (hash
+        repartitioning can never split — a bucket value co-locates wholly
+        in one task): ranges of ``cluster_by`` when given, else of the
+        merge key. With ``cluster_by`` + the ``stats_columns`` property
+        this is the Delta OPTIMIZE ZORDER analog for one dimension —
+        each bucket's files carry narrow disjoint value ranges, so
+        read_where prunes WITHIN buckets, not just across them."""
         schema = T.StructType.fromJson(man["schema"])
         key = man["key"]
         df = self._state_df(man, schema).withColumn(
@@ -1085,8 +1094,15 @@ class SnapTable:
             "data", f"{prefix}{man['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"
         )
         commit_dir = os.path.join(self.path, commit_rel)
+        if target_files_per_bucket > 1 or cluster_by:
+            split = F.col(cluster_by) if cluster_by else F.col(key)
+            part = df.repartitionByRange(
+                num_buckets * target_files_per_bucket, F.col("__bucket"), split
+            )
+        else:
+            part = df.repartition(num_buckets, "__bucket")
         (
-            df.repartition(num_buckets * target_files_per_bucket, "__bucket")
+            part
             .sortWithinPartitions(key)
             .write.mode("errorifexists")
             .partitionBy("__bucket")
@@ -1109,18 +1125,32 @@ class SnapTable:
             self._attach_stats(entries, list(stats_cols))
         return entries
 
-    def compact(self, target_files_per_bucket: int = 1) -> dict:
+    def compact(
+        self,
+        target_files_per_bucket: int = 1,
+        cluster_by: Optional[str] = None,
+    ) -> dict:
         """Bin-pack maintenance: rewrite every bucket down to
         target_files_per_bucket files (the moral equivalent of Iceberg's
         rewrite_data_files). State is unchanged; a new snapshot version is
-        published so time-travel to pre-compaction versions still works."""
+        published so time-travel to pre-compaction versions still works.
+
+        ``cluster_by``: range-cluster each bucket's files on this column
+        (Delta's OPTIMIZE ZORDER for one dimension) — combined with the
+        ``stats_columns`` property, read_where then prunes files WITHIN a
+        bucket, which is where most of the skipping lives once buckets are
+        the 0.25-1 GB design size."""
         man = self.manifest()
         if not man["files"]:
             return {"compacted": False, "reason": "empty table"}
         # merged state: folds any outstanding MoR delta files into the new
         # base files (full-table compaction clears the whole delta stack)
         new_files = self._full_rewrite(
-            man, man["num_buckets"], target_files_per_bucket, "compact"
+            man,
+            man["num_buckets"],
+            target_files_per_bucket,
+            "compact",
+            cluster_by=cluster_by,
         )
         old_count = len(man["files"])
         man["files"] = new_files

@@ -148,3 +148,44 @@ def test_all_null_and_missing_stats_are_conservative(spark, tmp_path):
     t2.merge(rows_df(spark, [("x", 1, "s")]), epoch=0)
     assert all("stats" not in f for f in t2.manifest()["files"])
     assert _state(t2.read_where("n_tok", 0, 10)) == _state(t2.read())
+
+
+def test_clustered_compaction_prunes_within_buckets(spark, tmp_path):
+    """compact(target_files_per_bucket=k, cluster_by=col): each bucket
+    splits into range-clustered files (hash repartitioning alone can never
+    split a bucket), so a narrow read_where touches a fraction of each
+    bucket's files. State unchanged; stats re-recorded."""
+    t = _mk(spark, tmp_path / "z")
+    t.merge(
+        rows_df(
+            spark,
+            [(f"d{i}", (i * 37) % 1000, "s") for i in range(1500)],
+        ),
+        epoch=0,
+    )
+    before = _state(t.read())
+    r = t.compact(target_files_per_bucket=4, cluster_by="n_tok")
+    assert r["compacted"]
+    from collections import Counter
+
+    per_bucket = Counter(f["bucket"] for f in t.manifest()["files"])
+    assert max(per_bucket.values()) > 1, "clustering must split buckets"
+    assert _state(t.read()) == before
+
+    pv = t.prune_preview("n_tok", 0, 99)
+    assert pv["base_files_read"] < pv["base_files"] / 2
+    got = _state(t.read_where("n_tok", 0, 99))
+    assert got == _state(t.read().filter("n_tok between 0 and 99"))
+
+
+def test_plain_compact_target_splits_by_key_range(spark, tmp_path):
+    t = _mk(spark, tmp_path / "k")
+    t.merge(
+        rows_df(spark, [(f"d{i:04d}", i, "s") for i in range(1200)]), epoch=0
+    )
+    t.compact(target_files_per_bucket=3)
+    from collections import Counter
+
+    per_bucket = Counter(f["bucket"] for f in t.manifest()["files"])
+    assert max(per_bucket.values()) > 1
+    assert t.read().count() == 1200
