@@ -437,11 +437,35 @@ class SnapTable:
         )
         schema = T.StructType.fromJson(man["schema"])
         non_null = [v for v in values if v is not None]
+        probe_null = len(non_null) < len(values)
+
+        # second pruning level, when the key is a declared stats column:
+        # base files are key-sorted, so their footer min/max on the key is
+        # tight — a compacted bucket holding several range-split files
+        # serves a point read from the ONE file whose range covers the
+        # probe. Deltas always participate (LWW resolution), and the exact
+        # isin predicate below makes pruning answer-neutral, as in
+        # read_where.
+        def _key_hit(f: dict) -> bool:
+            if f.get("kind", "base") == "delta":
+                return True
+            st = f.get("stats", {}).get(key)
+            if st is None:
+                return True
+            fmin, fmax, has_null = st
+            if fmin is None or fmax is None:  # all-null file
+                return probe_null
+            if any(fmin <= v <= fmax for v in non_null):
+                return True
+            return probe_null and has_null
+
+        man = dict(man, files=[f for f in man["files"] if _key_hit(f)])
+
         # NULL is a legal merge-key value (xxhash64 hashes an all-null row
         # to a real bucket), but isin() is null-rejecting — match it
         # explicitly so a NULL-key lookup doesn't silently miss
         pred = F.col(key).isin(non_null)
-        if len(non_null) < len(values):
+        if probe_null:
             pred = pred | F.col(key).isNull()
         return self._state_df(man, schema, buckets=buckets).filter(pred)
 

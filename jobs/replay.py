@@ -46,6 +46,26 @@ def main() -> int:
         help="merge-on-read floor: buckets with less base than this always "
         "take the plain CoW rewrite (deferral never wins on small bases)",
     )
+    ap.add_argument(
+        "--quarantine",
+        default=None,
+        help="dead-letter SnapTable path: change records the replay would "
+        "drop (malformed doc, failed cast, NULL merge key) are merged "
+        "there exactly-once with an _invalid_reason column",
+    )
+    ap.add_argument(
+        "--auto-rebucket-bytes",
+        type=int,
+        default=None,
+        help="double the bucket layout when mean base bytes/bucket pass "
+        "this target (buckets grow with data; decision is metadata-only)",
+    )
+    ap.add_argument(
+        "--stats-columns",
+        default=None,
+        help="comma-separated columns to record per-file min/max stats "
+        "for at commit time (enables SnapTable.read_where file skipping)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -70,6 +90,13 @@ def main() -> int:
         collect_metrics=not args.quiet_metrics,
         gc_keep_snapshots=args.gc_keep_snapshots,
         min_mor_base_bytes=args.min_mor_base_bytes,
+        quarantine_path=args.quarantine,
+        auto_rebucket_bytes=args.auto_rebucket_bytes,
+        stats_columns=(
+            [c for c in args.stats_columns.split(",") if c]
+            if args.stats_columns
+            else ()
+        ),
     )
     metrics = pipe.run(max_epochs=args.max_epochs)
     for m in metrics:
