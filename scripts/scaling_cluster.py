@@ -45,6 +45,7 @@ from pyspark.sql import SparkSession
 n_exec = int(sys.argv[1])
 log_path = sys.argv[2]
 table_path = sys.argv[3]
+reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
 spark = (
     SparkSession.builder.master(f"local-cluster[{n_exec},8,3072]")
@@ -76,11 +77,15 @@ ecfg = ExpandConfig(
     malformed_json_policy="invalid_record")
 log_df = spark.read.parquet(log_path)
 expand_json(log_df, ecfg).agg(Fn.count("doc_id")).collect()  # warm
-# min-of-3: the host throttles INTERMITTENTLY mid-run (same-config repeats
-# observed 12.4 s vs 35.7 s back-to-back); the minimum estimates the
-# engine's capability, all repeats are recorded for honesty
+# min-of-reps: the host throttles INTERMITTENTLY mid-run (same-config
+# repeats observed 12.4 s vs 35.7 s back-to-back), and multi-JVM arms
+# warm up over MORE reps than one JVM (r5c: the 4-exec arm's times were
+# still falling at rep 3: 43.5 -> 37.9 -> 17.8 s) — steady state is the
+# quantity the criterion means, and both arms get the same rep count,
+# so raising --reps is fair. The minimum estimates the engine's
+# capability; all repeats are recorded for honesty.
 expand_secs = []
-for _ in range(3):
+for _ in range(reps):
     t0 = time.time()
     expand_json(log_df, ecfg).agg(Fn.count("doc_id")).collect()
     expand_secs.append(round(time.time() - t0, 3))
@@ -138,6 +143,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=8_000_000)
     ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="expand repetitions per arm (min taken; both "
+                    "arms get the same count — multi-JVM warm-up outlasts "
+                    "3 reps, see runner comment)")
     ap.add_argument("--out", default="scaling_cluster.json",
                     help="output filename under bench_results/")
     args = ap.parse_args()
@@ -185,7 +194,8 @@ def main() -> None:
         time.sleep(5)
         probe = hw_ceiling()
         table = os.path.join(work, f"table_{idx}")
-        cmd = [sys.executable, runner, str(n_exec), log_path, table]
+        cmd = [sys.executable, runner, str(n_exec), log_path, table,
+               str(args.reps)]
         out = subprocess.run(
             cmd, capture_output=True, text=True, env=env, check=True
         )
