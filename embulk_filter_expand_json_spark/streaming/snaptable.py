@@ -39,9 +39,36 @@ bounded by the touched-bucket fraction; with Zipf-skewed keys the delta's
 keys concentrate, so typical epochs rewrite a small subset. For epochs that
 touch most buckets, the evolution path is merge-on-read delta files +
 background compaction — out of scope here, noted for parity with Iceberg's
-MoR mode. Single-writer (one pipeline driver) is assumed, as in any
-single-topic CDC applier; the atomic-rename commit makes concurrent writers
-fail loudly rather than corrupt.
+MoR mode.
+
+**Optimistic concurrency (Iceberg/Delta commit model):** every commit is
+optimistic — compute first, then publish the next manifest version via a
+create-exclusive primitive. A writer that loses the publish race does NOT
+fail; it validates against the new current manifest and resolves exactly
+the way Iceberg's ``commit.retry`` / Delta's logical conflict checking do:
+
+- ``merge`` losing to a state-preserving ``compact`` or an additive
+  ``evolve-add-columns``, or to another ``merge`` whose touched buckets
+  are provably disjoint (merge summaries record their bucket sets), is
+  **rebased**: the already-written data files are re-targeted onto the
+  new current manifest — no Spark job re-runs.
+- ``merge`` losing to an overlapping merge or a ``rebucket`` (bucket
+  layout changed under it) **redoes** the whole merge against the fresh
+  manifest, bounded by ``max_commit_retries``.
+- A race that already committed this merge's epoch (a crashed driver's
+  twin retrying) resolves as the standard exactly-once **skip**, and the
+  loser's staged files are deleted immediately.
+- Maintenance ops (``compact``/``rebucket``) and ``evolve_add_columns``
+  redo from the fresh manifest on a lost race (their input is the whole
+  current state, so a rebase would be identical work).
+
+The intended concurrent writers are one CDC applier racing maintenance
+services (compaction, GC, schema management) — Iceberg's deployment
+model; two appliers replaying DIFFERENT epochs concurrently still
+serialize correctly (epoch ordering is validated at resolve time), and
+a lower-than-committed epoch resolves as the exactly-once no-op, same
+as the entry check. ``remove_orphans``'s mtime guard protects in-flight
+commits' unpublished files from the GC writer.
 """
 
 from __future__ import annotations
@@ -180,25 +207,37 @@ class SnapTable:
             }
         )
 
-    def evolve_add_columns(self, new_fields: List[T.StructField]) -> bool:
+    def evolve_add_columns(
+        self, new_fields: List[T.StructField], max_commit_retries: int = 10
+    ) -> bool:
         """Additive-only schema evolution: append nullable columns. Existing
-        files are unchanged (null-filled on read). Returns True if evolved."""
-        man = self.manifest()
-        schema = T.StructType.fromJson(man["schema"])
-        existing = set(schema.fieldNames())
-        added = [f for f in new_fields if f.name not in existing]
-        if not added:
-            return False
-        for f in added:
-            schema = schema.add(T.StructField(f.name, f.dataType, True))
-        man["schema"] = schema.jsonValue()
-        man["version"] += 1
-        man["summary"] = {
-            "op": "evolve-add-columns",
-            "added": [f.name for f in added],
-        }
-        self._publish(man)
-        return True
+        files are unchanged (null-filled on read). Returns True if evolved.
+        Metadata-only, so a lost commit race simply recomputes against the
+        fresh manifest and retries (a racer that already added the same
+        columns turns this into the no-op return)."""
+        for _ in range(max(max_commit_retries, 0) + 1):
+            man = self.manifest()
+            schema = T.StructType.fromJson(man["schema"])
+            existing = set(schema.fieldNames())
+            added = [f for f in new_fields if f.name not in existing]
+            if not added:
+                return False
+            for f in added:
+                schema = schema.add(T.StructField(f.name, f.dataType, True))
+            man["schema"] = schema.jsonValue()
+            man["version"] += 1
+            man["summary"] = {
+                "op": "evolve-add-columns",
+                "added": [f.name for f in added],
+            }
+            try:
+                self._publish(man)
+                return True
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"evolve_add_columns lost {max_commit_retries + 1} commit races"
+        )
 
     # ----------------------------------------------------------------- read
     def version_as_of(self, ts: float) -> int:
@@ -675,6 +714,7 @@ class SnapTable:
         delete_col: Optional[str] = None,
         extra_properties: Optional[dict] = None,
         pre_commit=None,
+        max_commit_retries: int = 10,
     ) -> dict:
         """MERGE INTO: upsert deltas by key, delete rows where delete_col.
 
@@ -713,8 +753,15 @@ class SnapTable:
         Used by the pipeline's observation-driven schema evolution: a new
         payload key detected during the stage write aborts, evolves, and
         redoes — without ever paying the rewrite for the aborted attempt.
+
+        ``max_commit_retries``: optimistic-concurrency budget. A lost
+        publish race first attempts a job-free REBASE (see the module
+        docstring's conflict matrix); conflicts that can't rebase redo
+        the merge against the fresh manifest, decrementing this budget.
+        Exhaustion raises :class:`CommitConflict`.
         """
         man = self.manifest()
+        base_version = man["version"]
         if epoch <= man["last_committed_epoch"]:
             return {
                 "epoch": epoch,
@@ -1051,11 +1098,61 @@ class SnapTable:
         man["summary"] = {
             "op": "merge",
             "epoch": epoch,
+            # the full touched-bucket set: what a LATER concurrent writer
+            # reads to prove its own commit is bucket-disjoint from this
+            # one (manifests already carry per-file entries for these
+            # buckets, so the list adds no asymptotic metadata weight)
+            "buckets": affected,
             "buckets_touched": len(affected),
             "buckets_deferred": len(deferred_buckets),
             "files_rewritten": files_rewritten,
         }
-        version = self._publish(man)
+        try:
+            version = self._publish(man)
+        except CommitConflict:
+            # Lost the publish race. Deferred-bucket entries are pure
+            # appends at the top commit sequence (LWW-safe over ANY
+            # intervening state), so only rewrite + fresh buckets can
+            # genuinely conflict with another writer's data.
+            outcome, version = self._rebase_merge(
+                base_version=base_version,
+                epoch=epoch,
+                conflict_buckets=set(affected) - set(deferred_buckets),
+                rewrite_buckets=set(rewrite_buckets),
+                new_files=new_files,
+                change_files=change_files,
+                old_new_seq=new_seq,
+                summary=man["summary"],
+                extra_properties=extra_properties,
+                num_buckets=num_buckets,
+                key=key,
+            )
+            if outcome == "skipped":
+                # another writer already committed this epoch (crashed
+                # driver's twin): exactly-once skip; this attempt's files
+                # are dead now, not at the next orphan sweep
+                self._discard_commit_dir(commit_rel)
+                return {
+                    "epoch": epoch,
+                    "skipped": True,
+                    "reason": "epoch committed concurrently by another writer",
+                }
+            if outcome == "redo":
+                self._discard_commit_dir(commit_rel)
+                if max_commit_retries <= 0:
+                    raise CommitConflict(
+                        f"merge of epoch {epoch} lost the commit race and "
+                        "cannot rebase (overlapping buckets, layout change, "
+                        "or retry budget exhausted)"
+                    )
+                return self.merge(
+                    deltas,
+                    epoch,
+                    delete_col=delete_col,
+                    extra_properties=extra_properties,
+                    pre_commit=pre_commit,
+                    max_commit_retries=max_commit_retries - 1,
+                )
         # self-cleanup: staged files CONSUMED by the rewrite (not registered
         # in the manifest) are dead the moment the commit publishes — delete
         # them here instead of leaving every rewrite epoch's stage dir as
@@ -1087,6 +1184,129 @@ class SnapTable:
             # (stage job / MoR decision metadata / rewrite job / publish+GC)
             "timings": _timings,
         }
+
+    # ------------------------------------------------- concurrency control
+    def _rebase_merge(
+        self,
+        base_version: int,
+        epoch: int,
+        conflict_buckets: set,
+        rewrite_buckets: set,
+        new_files: List[dict],
+        change_files: List[dict],
+        old_new_seq: int,
+        summary: dict,
+        extra_properties: Optional[dict],
+        num_buckets: int,
+        key: str,
+        max_attempts: int = 10,
+    ) -> tuple:
+        """Resolve a lost merge publish race without re-running any Spark
+        job, when safe. Returns ``(outcome, version)`` with outcome one of
+        ``"committed"`` / ``"skipped"`` / ``"redo"``.
+
+        Validation walks every intervening commit (base_version, cur] and
+        admits the rebase only if ALL of them are provably compatible:
+
+        - another ``merge``: its recorded bucket set must be disjoint from
+          this merge's ``conflict_buckets`` (rewrite + fresh buckets —
+          the buckets whose file sets this commit computed from the stale
+          manifest). Deferred-bucket overlap is always safe: those entries
+          append at the top commit sequence, so LWW resolves them last
+          over ANY intervening state. A pre-concurrency manifest without
+          the ``buckets`` summary cannot prove disjointness → redo.
+        - ``compact``: state-preserving by definition — it replaced files
+          in our rewrite buckets, but with the SAME logical rows our
+          rewrite already folded in, so dropping its output for those
+          buckets and installing ours is correct.
+        - ``evolve-add-columns``: additive; the rebase adopts the evolved
+          schema and our narrower files null-fill on read.
+        - ``rebucket`` / unknown ops / an expired (unreadable) manifest:
+          cannot validate → redo.
+
+        Epoch ordering is re-checked against the CURRENT manifest: an
+        equal-or-higher committed epoch resolves as the exactly-once skip
+        (same contract as merge()'s entry check).
+        """
+        for _ in range(max_attempts):
+            cur = self.manifest()
+            if cur["last_committed_epoch"] >= epoch:
+                return "skipped", None
+            if cur["num_buckets"] != num_buckets or cur["key"] != key:
+                return "redo", None
+            compatible = True
+            for v in range(base_version + 1, cur["version"] + 1):
+                try:
+                    mid = self.manifest(v)
+                except FileNotFoundError:
+                    compatible = False  # expired mid-race: can't validate
+                    break
+                op = (mid.get("summary") or {}).get("op")
+                if op == "merge":
+                    touched = set(mid["summary"].get("buckets") or ())
+                    if not touched or (touched & conflict_buckets):
+                        compatible = False
+                        break
+                elif op in ("compact", "evolve-add-columns"):
+                    continue
+                else:
+                    compatible = False
+                    break
+            if not compatible:
+                return "redo", None
+
+            new_seq = cur["version"] + 1
+            # deferred delta entries carry the commit sequence they were
+            # minted under — remap to the rebased sequence so LWW ordering
+            # matches commit order (copies: new_files is also the caller's
+            # post-publish cleanup whitelist)
+            remapped = []
+            for f in new_files:
+                if f.get("kind") == "delta" and f.get("seq") == old_new_seq:
+                    f = {**f, "seq": new_seq}
+                remapped.append(f)
+            man2 = dict(cur)
+            man2["files"] = [
+                f for f in cur["files"] if f["bucket"] not in rewrite_buckets
+            ] + remapped
+            man2["version"] = new_seq
+            man2["last_committed_epoch"] = epoch
+            if extra_properties:
+                man2["properties"] = {
+                    **man2.get("properties", {}),
+                    **extra_properties,
+                }
+            props = man2.get("properties", {})
+            if props.get("changelog"):
+                man2.setdefault("changes_valid_from", new_seq - 1)
+                changes = list(man2.get("changes", ())) + [
+                    {"version": new_seq, "epoch": epoch, "files": change_files}
+                ]
+                keep_n = int(props.get("changelog_keep", 64))
+                if keep_n < 1:
+                    raise ValueError("changelog_keep must be >= 1")
+                if len(changes) > keep_n:
+                    changes = changes[-keep_n:]
+                    man2["changes_valid_from"] = max(
+                        man2.get("changes_valid_from", 0),
+                        changes[0]["version"] - 1,
+                    )
+                man2["changes"] = changes
+            man2["summary"] = {**summary, "rebased_from_version": base_version}
+            try:
+                return "committed", self._publish(man2)
+            except CommitConflict:
+                continue  # yet another writer landed: re-validate vs newer
+        return "redo", None
+
+    def _discard_commit_dir(self, commit_rel: str) -> None:
+        """Delete an unpublished commit attempt's entire staging subtree —
+        the losing side of a resolved race cleans up NOW rather than
+        leaving orphans for the next GC sweep."""
+        root = self._mpath(commit_rel)
+        for rel, _sz in self.fs.list_files_recursive(root):
+            self.fs.delete(posixpath.join(root, rel))
+        self._prune_empty_dirs(root)
 
     # --------------------------------------------------------- maintenance
     def _full_rewrite(
@@ -1153,6 +1373,7 @@ class SnapTable:
         self,
         target_files_per_bucket: int = 1,
         cluster_by: Optional[str] = None,
+        max_commit_retries: int = 3,
     ) -> dict:
         """Bin-pack maintenance: rewrite every bucket down to
         target_files_per_bucket files (the moral equivalent of Iceberg's
@@ -1164,36 +1385,53 @@ class SnapTable:
         ``stats_columns`` property, read_where then prunes files WITHIN a
         bucket, which is where most of the skipping lives once buckets are
         the 0.25-1 GB design size."""
-        man = self.manifest()
-        if not man["files"]:
-            return {"compacted": False, "reason": "empty table"}
-        # merged state: folds any outstanding MoR delta files into the new
-        # base files (full-table compaction clears the whole delta stack)
-        new_files = self._full_rewrite(
-            man,
-            man["num_buckets"],
-            target_files_per_bucket,
-            "compact",
-            cluster_by=cluster_by,
+        for _ in range(max(max_commit_retries, 0) + 1):
+            man = self.manifest()
+            if not man["files"]:
+                return {"compacted": False, "reason": "empty table"}
+            # merged state: folds any outstanding MoR delta files into the
+            # new base files (full-table compaction clears the delta stack)
+            new_files = self._full_rewrite(
+                man,
+                man["num_buckets"],
+                target_files_per_bucket,
+                "compact",
+                cluster_by=cluster_by,
+            )
+            old_count = len(man["files"])
+            man["files"] = new_files
+            man["version"] += 1
+            man["summary"] = {
+                "op": "compact",
+                "files_before": old_count,
+                "files_after": len(new_files),
+            }
+            try:
+                self._publish(man)
+            except CommitConflict:
+                # a merge (or other writer) landed first: this rewrite no
+                # longer reflects current state — discard it and redo from
+                # the fresh manifest (compaction input IS the whole state,
+                # so redo and rebase would be identical work)
+                self._discard_commit_dir(
+                    posixpath.join(*new_files[0]["path"].split("/")[:2])
+                )
+                continue
+            return {
+                "compacted": True,
+                "files_before": old_count,
+                "files_after": len(new_files),
+                "version": man["version"],
+            }
+        raise CommitConflict(
+            f"compact lost {max_commit_retries + 1} commit races"
         )
-        old_count = len(man["files"])
-        man["files"] = new_files
-        man["version"] += 1
-        man["summary"] = {
-            "op": "compact",
-            "files_before": old_count,
-            "files_after": len(new_files),
-        }
-        self._publish(man)
-        return {
-            "compacted": True,
-            "files_before": old_count,
-            "files_after": len(new_files),
-            "version": man["version"],
-        }
 
     def rebucket(
-        self, new_num_buckets: int, target_files_per_bucket: int = 1
+        self,
+        new_num_buckets: int,
+        target_files_per_bucket: int = 1,
+        max_commit_retries: int = 3,
     ) -> dict:
         """Bucket-layout evolution — the Iceberg partition-spec-evolution
         analog for this table's hash layout. The design target is
@@ -1222,35 +1460,47 @@ class SnapTable:
         per-epoch cost."""
         if new_num_buckets < 1:
             raise ValueError("new_num_buckets must be >= 1")
-        man = self.manifest()
-        old = man["num_buckets"]
-        if new_num_buckets == old:
-            return {"rebucketed": False, "reason": f"already {old} buckets"}
-        old_count = len(man["files"])
-        if man["files"]:
-            new_files = self._full_rewrite(
-                man, new_num_buckets, target_files_per_bucket, "rebucket"
-            )
-        else:
-            new_files = []  # pre-load resize: manifest-only change
-        man["files"] = new_files
-        man["num_buckets"] = new_num_buckets
-        man["version"] += 1
-        man["summary"] = {
-            "op": "rebucket",
-            "buckets_before": old,
-            "buckets_after": new_num_buckets,
-            "files_before": old_count,
-            "files_after": len(new_files),
-        }
-        self._publish(man)
-        return {
-            "rebucketed": True,
-            "buckets_before": old,
-            "buckets_after": new_num_buckets,
-            "files_after": len(new_files),
-            "version": man["version"],
-        }
+        for _ in range(max(max_commit_retries, 0) + 1):
+            man = self.manifest()
+            old = man["num_buckets"]
+            if new_num_buckets == old:
+                return {"rebucketed": False, "reason": f"already {old} buckets"}
+            old_count = len(man["files"])
+            if man["files"]:
+                new_files = self._full_rewrite(
+                    man, new_num_buckets, target_files_per_bucket, "rebucket"
+                )
+            else:
+                new_files = []  # pre-load resize: manifest-only change
+            man["files"] = new_files
+            man["num_buckets"] = new_num_buckets
+            man["version"] += 1
+            man["summary"] = {
+                "op": "rebucket",
+                "buckets_before": old,
+                "buckets_after": new_num_buckets,
+                "files_before": old_count,
+                "files_after": len(new_files),
+            }
+            try:
+                self._publish(man)
+            except CommitConflict:
+                # same redo rule as compact: the rewrite snapshot is stale
+                if new_files:
+                    self._discard_commit_dir(
+                        posixpath.join(*new_files[0]["path"].split("/")[:2])
+                    )
+                continue
+            return {
+                "rebucketed": True,
+                "buckets_before": old,
+                "buckets_after": new_num_buckets,
+                "files_after": len(new_files),
+                "version": man["version"],
+            }
+        raise CommitConflict(
+            f"rebucket lost {max_commit_retries + 1} commit races"
+        )
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg ``expire_snapshots``: drop manifest versions older than
@@ -1288,9 +1538,11 @@ class SnapTable:
         debris of aborted commits (pre_commit=False / crash between write
         and publish leaves staged files unreferenced by design). The mtime
         guard skips files younger than ``older_than_sec`` so an in-flight
-        commit's just-written, not-yet-published files survive; beyond that
-        the single-writer assumption (module docstring) makes the sweep
-        safe to run any time."""
+        commit's just-written, not-yet-published files survive — the guard
+        is what makes this sweep safe to run concurrently with writers
+        (the optimistic-concurrency model in the module docstring): any
+        unreferenced file OLDER than the window belongs to an attempt that
+        either crashed or already resolved its race and self-cleaned."""
         import time as _time
 
         referenced = set()
