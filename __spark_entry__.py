@@ -600,6 +600,83 @@ def _cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_DML_ORACLE_LOG = f"{_ORACLE_TMP}/dml_log"
+
+
+def _cdc_dml_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML lifecycle (Delta UPDATE/DELETE parity), hard-verified:
+    the cdc_replay_state pipeline runs to completion, then interactive DML
+    edits the table in place — ``update_where`` rewrites every src3 row
+    (both a string and an arithmetic assignment, each evaluated against
+    the PRE-update row) and ``delete_where`` removes the updated rows
+    whose shifted n_tok is divisible by 3. Both route through the staged
+    MERGE machinery (bucket-local rewrite, feed, optimistic concurrency)
+    without advancing the CDC watermark; the DuckDB oracle replays the
+    log to final state and applies the same UPDATE-then-DELETE algebra in
+    SQL (CASE assignment, IS NOT TRUE delete filter — SQL's NULL-keeps
+    rule). tests/test_dml.py pins the engine contracts (watermark,
+    pre-image feed rows, snapshot-isolated races, restore)."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="dml_entry_")
+    shutil.rmtree(_DML_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+        )
+        write_changes(spark, cfg, _DML_ORACLE_LOG)
+        pipe = CdcPipeline(
+            spark,
+            _DML_ORACLE_LOG,
+            os.path.join(work, "table"),
+            num_buckets=8,
+        )
+        pipe.run()
+        t = pipe.table
+        wm = t.manifest()["last_committed_epoch"]
+        t.update_where(
+            "source = 'src3'",
+            {"source": "concat('q-', source)", "n_tok": "n_tok + 1000"},
+        )
+        t.delete_where("source = 'q-src3' AND n_tok % 3 = 0")
+        assert t.manifest()["last_committed_epoch"] == wm, (
+            "DML advanced the CDC watermark"
+        )
+        out = t.read().select("doc_id", "n_tok", "source")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _dml_oracle_sql(log_path: str) -> str:
+    """The replay oracle wrapped with the same UPDATE-then-DELETE algebra:
+    CASE applies both SET expressions against the pre-update row; the
+    delete filter uses IS NOT TRUE so NULL predicates keep rows (SQL
+    DELETE), matching Spark's where() keeping only TRUE matches."""
+    return f"""
+        WITH state AS ({_replay_oracle_sql(log_path)}),
+        upd AS (
+          SELECT doc_id,
+                 CASE WHEN source = 'src3' THEN n_tok + 1000
+                      ELSE n_tok END AS n_tok,
+                 CASE WHEN source = 'src3' THEN 'q-' || source
+                      ELSE source END AS source
+          FROM state
+        )
+        SELECT doc_id, n_tok, source FROM upd
+        WHERE (source = 'q-src3' AND n_tok % 3 = 0) IS NOT TRUE
+    """
+
+
 _SCDF_ORACLE_LOG = f"{_ORACLE_TMP}/streamfeed_log"
 
 
@@ -2063,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_dedup_keyjoin": _lww_keyjoin,
         "cdc_replay_state": _cdc_replay_state,
         "cdc_changefeed": _cdc_changefeed,
+        "cdc_dml_state": _cdc_dml_state,
         "streaming_changefeed": _streaming_changefeed,
         "incremental_agg_view": _incremental_agg_view,
         "derived_replica": _derived_replica,
@@ -2237,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_replay_state": _replay_oracle_sql(_CDC_ORACLE_LOG),
         "cdc_changefeed": _changefeed_oracle_sql(_CDF_ORACLE_LOG),
+        "cdc_dml_state": _dml_oracle_sql(_DML_ORACLE_LOG),
         "streaming_changefeed": _changefeed_oracle_sql(_SCDF_ORACLE_LOG),
         "incremental_agg_view": f"""
             WITH state AS ({_replay_oracle_sql(_AGG_ORACLE_LOG)})

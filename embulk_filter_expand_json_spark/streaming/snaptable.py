@@ -715,6 +715,7 @@ class SnapTable:
         extra_properties: Optional[dict] = None,
         pre_commit=None,
         max_commit_retries: int = 10,
+        _dml_op: Optional[str] = None,
     ) -> dict:
         """MERGE INTO: upsert deltas by key, delete rows where delete_col.
 
@@ -759,10 +760,27 @@ class SnapTable:
         docstring's conflict matrix); conflicts that can't rebase redo
         the merge against the fresh manifest, decrementing this budget.
         Exhaustion raises :class:`CommitConflict`.
+
+        ``_dml_op`` (internal — set by :meth:`delete_where` /
+        :meth:`update_where`): commit this change set as interactive
+        row-level DML rather than source progress. The epoch gate is
+        bypassed and ``last_committed_epoch`` (the CDC source watermark)
+        is left untouched — a DML commit between two pipeline epochs must
+        never make the pipeline skip the next source batch as
+        already-applied. A lost publish race still rebases when the
+        intervening commits are bucket-disjoint (snapshot-isolation: rows
+        cannot change buckets, so the staged change set stays valid); any
+        conflict that would require re-planning raises CommitConflict to
+        the DML wrapper, which recomputes its predicate against the FRESH
+        state instead of restaging a stale snapshot's rows.
         """
         man = self.manifest()
         base_version = man["version"]
-        if epoch <= man["last_committed_epoch"]:
+        if _dml_op is not None:
+            # DML pins the watermark: publishing `epoch` back unchanged
+            # makes the `last_committed_epoch = epoch` write below a no-op
+            epoch = man["last_committed_epoch"]
+        elif epoch <= man["last_committed_epoch"]:
             return {
                 "epoch": epoch,
                 "skipped": True,
@@ -1096,7 +1114,10 @@ class SnapTable:
         _phase_t = time.time()
 
         man["summary"] = {
-            "op": "merge",
+            # DML commits validate exactly like merges in a rival writer's
+            # rebase (bucket-disjointness is the whole test), but history()
+            # should show what the commit WAS
+            "op": _dml_op or "merge",
             "epoch": epoch,
             # the full touched-bucket set: what a LATER concurrent writer
             # reads to prove its own commit is bucket-disjoint from this
@@ -1126,6 +1147,7 @@ class SnapTable:
                 extra_properties=extra_properties,
                 num_buckets=num_buckets,
                 key=key,
+                is_dml=_dml_op is not None,
             )
             if outcome == "skipped":
                 # another writer already committed this epoch (crashed
@@ -1139,6 +1161,15 @@ class SnapTable:
                 }
             if outcome == "redo":
                 self._discard_commit_dir(commit_rel)
+                if _dml_op is not None:
+                    # the staged rows came from a predicate over a now-stale
+                    # snapshot — restaging them verbatim could delete/update
+                    # rows a rival writer just changed out from under the
+                    # predicate. The DML wrapper recomputes from fresh state.
+                    raise CommitConflict(
+                        f"{_dml_op} lost the commit race to an overlapping "
+                        "writer; recompute the predicate against fresh state"
+                    )
                 if max_commit_retries <= 0:
                     raise CommitConflict(
                         f"merge of epoch {epoch} lost the commit race and "
@@ -1185,6 +1216,104 @@ class SnapTable:
             "timings": _timings,
         }
 
+    # ------------------------------------------------------ row-level DML
+    def delete_where(self, condition, max_commit_retries: int = 10) -> dict:
+        """Row-level DELETE (Delta ``DELETE FROM t WHERE ...`` / Iceberg
+        row-delete parity): remove every row of the current resolved state
+        matching ``condition`` (a Column or SQL string; NULL-valued
+        predicates keep the row, like SQL DELETE).
+
+        Routed through the same staged-delta MERGE machinery as CDC
+        commits, so it inherits everything for free: bucket-local rewrite
+        (only buckets holding matches are touched), MoR deferral, change
+        data feed (delete rows carry the full PRE-IMAGE, since the staged
+        rows come from the resolved state), time travel, and optimistic
+        concurrency. Unlike a CDC merge it does NOT advance
+        ``last_committed_epoch`` — DML is interactive table maintenance,
+        not source progress, and bumping the watermark would make the
+        pipeline silently skip its next source batch.
+
+        Snapshot isolation: matches are computed against the state current
+        at call time; a racing bucket-disjoint writer rebases cleanly
+        (rows never change buckets), while an overlapping writer forces a
+        recompute of the predicate against fresh state (up to
+        ``max_commit_retries`` times) — never a restage of stale matches.
+        """
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        last_err: Optional[Exception] = None
+        for _ in range(max_commit_retries + 1):
+            matches = (
+                self.read()
+                .where(cond)
+                .withColumn("__dml_delete", F.lit(True))
+            )
+            try:
+                return self.merge(
+                    matches,
+                    epoch=-1,  # ignored: _dml_op pins the watermark
+                    delete_col="__dml_delete",
+                    max_commit_retries=0,
+                    _dml_op="delete-where",
+                )
+            except CommitConflict as e:
+                last_err = e
+                continue
+        raise CommitConflict(
+            f"delete_where exhausted {max_commit_retries} recompute retries"
+        ) from last_err
+
+    def update_where(
+        self,
+        condition,
+        set_exprs: dict,
+        max_commit_retries: int = 10,
+    ) -> dict:
+        """Row-level UPDATE (Delta ``UPDATE t SET ... WHERE ...`` parity):
+        for every current-state row matching ``condition``, assign each
+        ``set_exprs`` column (name -> Column or SQL string, evaluated
+        against the matched row — so ``{"n_tok": "n_tok + 1"}`` works) and
+        upsert the result. The merge key cannot be updated: in a keyed LWW
+        table a key rewrite is delete-old + insert-new, two different
+        change-feed events — express it as ``delete_where`` plus a
+        ``merge`` so the feed says what happened. Same watermark, feed,
+        concurrency and snapshot-isolation contract as
+        :meth:`delete_where`; the feed records the updated rows as
+        ``upsert`` after-images, exactly like a CDC update.
+        """
+        man = self.manifest()
+        key = man["key"]
+        declared = {f.name for f in T.StructType.fromJson(man["schema"]).fields}
+        bad = sorted(set(set_exprs) - declared)
+        if bad:
+            raise ValueError(f"update_where: unknown column(s) {bad}")
+        if key in set_exprs:
+            raise ValueError(
+                f"update_where cannot reassign the merge key {key!r}: use "
+                "delete_where + merge so the change feed records the key "
+                "transition as delete + insert"
+            )
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in set_exprs.items()
+        }
+        last_err: Optional[Exception] = None
+        for _ in range(max_commit_retries + 1):
+            matches = self.read().where(cond).withColumns(assigns)
+            try:
+                return self.merge(
+                    matches,
+                    epoch=-1,  # ignored: _dml_op pins the watermark
+                    max_commit_retries=0,
+                    _dml_op="update-where",
+                )
+            except CommitConflict as e:
+                last_err = e
+                continue
+        raise CommitConflict(
+            f"update_where exhausted {max_commit_retries} recompute retries"
+        ) from last_err
+
     # ------------------------------------------------- concurrency control
     def _rebase_merge(
         self,
@@ -1200,6 +1329,7 @@ class SnapTable:
         num_buckets: int,
         key: str,
         max_attempts: int = 10,
+        is_dml: bool = False,
     ) -> tuple:
         """Resolve a lost merge publish race without re-running any Spark
         job, when safe. Returns ``(outcome, version)`` with outcome one of
@@ -1230,7 +1360,10 @@ class SnapTable:
         """
         for _ in range(max_attempts):
             cur = self.manifest()
-            if cur["last_committed_epoch"] >= epoch:
+            # a DML commit's epoch IS the current watermark (it advances
+            # nothing), so the exactly-once skip check — "someone already
+            # committed this source epoch" — does not apply to it
+            if not is_dml and cur["last_committed_epoch"] >= epoch:
                 return "skipped", None
             if cur["num_buckets"] != num_buckets or cur["key"] != key:
                 return "redo", None
@@ -1242,7 +1375,7 @@ class SnapTable:
                     compatible = False  # expired mid-race: can't validate
                     break
                 op = (mid.get("summary") or {}).get("op")
-                if op == "merge":
+                if op in ("merge", "delete-where", "update-where"):
                     touched = set(mid["summary"].get("buckets") or ())
                     if not touched or (touched & conflict_buckets):
                         compatible = False
@@ -1270,7 +1403,11 @@ class SnapTable:
                 f for f in cur["files"] if f["bucket"] not in rewrite_buckets
             ] + remapped
             man2["version"] = new_seq
-            man2["last_committed_epoch"] = epoch
+            if not is_dml:
+                man2["last_committed_epoch"] = epoch
+            # DML: keep cur's watermark — a rival CDC merge may have
+            # advanced it past this DML's (pinned, older) epoch, and
+            # writing ours back would regress source progress
             if extra_properties:
                 man2["properties"] = {
                     **man2.get("properties", {}),
@@ -1500,6 +1637,67 @@ class SnapTable:
             }
         raise CommitConflict(
             f"rebucket lost {max_commit_retries + 1} commit races"
+        )
+
+    def restore(self, version: int, max_commit_retries: int = 10) -> dict:
+        """Roll the table back to a retained snapshot (Delta ``RESTORE TABLE
+        ... TO VERSION AS OF`` / Iceberg rollback parity) — metadata-only:
+        a NEW manifest version is published whose logical state (files,
+        schema, bucket layout, properties, and the ``last_committed_epoch``
+        source watermark) is the target version's. No data file is read,
+        written, or deleted; history is preserved (a restore is a new
+        commit, not a log rewrite), so a bad restore is itself restorable.
+
+        Rolling back the WATERMARK is the point: restore exists to undo
+        bad source epochs, and the pipeline's next ``run()`` re-applies
+        everything after the target exactly-once. The change feed cannot
+        stay continuous across a rollback (feed consumers have already
+        seen the undone commits), so the restored manifest truncates it
+        and marks validity from the restore commit — downstream consumers
+        hit the standard loud past-retention error and re-snapshot, the
+        same contract as falling behind ``changelog_keep``.
+
+        The target must still be in the snapshot log (``expire_snapshots``
+        bounds how far back restore reaches); its files are guaranteed
+        alive because retained manifests pin their references, and after
+        the restore the NEW manifest pins them even once the target
+        version itself expires.
+        """
+        if version > self.manifest()["version"]:
+            raise ValueError(
+                f"cannot restore to version {version}: table is at "
+                f"{self.manifest()['version']}"
+            )
+        target = self.manifest(version)  # raises if expired/unknown
+        for _ in range(max_commit_retries + 1):
+            cur = self.manifest()
+            if version == cur["version"]:
+                return {"skipped": True, "reason": "already at target"}
+            man = {
+                "version": cur["version"] + 1,
+                "schema": target["schema"],
+                "key": target["key"],
+                "num_buckets": target["num_buckets"],
+                "files": target["files"],
+                "last_committed_epoch": target["last_committed_epoch"],
+                "properties": target.get("properties", {}),
+                "summary": {"op": "restore", "restored_to": version},
+            }
+            if man["properties"].get("changelog"):
+                man["changes"] = []
+                man["changes_valid_from"] = man["version"]
+            try:
+                return {
+                    "skipped": False,
+                    "version": self._publish(man),
+                    "restored_to": version,
+                    "last_committed_epoch": man["last_committed_epoch"],
+                }
+            except CommitConflict:
+                continue  # metadata-only: recompute against the fresh head
+        raise CommitConflict(
+            f"restore to version {version} exhausted "
+            f"{max_commit_retries} retries"
         )
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
