@@ -1465,7 +1465,15 @@ class SnapTable:
         merge key. With ``cluster_by`` + the ``stats_columns`` property
         this is the Delta OPTIMIZE ZORDER analog for one dimension —
         each bucket's files carry narrow disjoint value ranges, so
-        read_where prunes WITHIN buckets, not just across them."""
+        read_where prunes WITHIN buckets, not just across them.
+
+        ``cluster_by`` may also be a LIST of >= 2 columns: the rewrite
+        then range-splits on a transient Morton z-value interleaving the
+        columns' quantile-bucket ranks (streaming/zorder.py), so every
+        file's min/max stays narrow on EVERY listed column at once —
+        multi-dimensional data skipping, the full Delta ZORDER analog.
+        The z-value never enters the table schema; skipping flows through
+        the ordinary ``stats_columns`` machinery."""
         schema = T.StructType.fromJson(man["schema"])
         key = man["key"]
         df = self._state_df(man, schema).withColumn(
@@ -1475,16 +1483,36 @@ class SnapTable:
             "data", f"{prefix}{man['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"
         )
         commit_dir = os.path.join(self.path, commit_rel)
-        if target_files_per_bucket > 1 or cluster_by:
+        zorder_cols = (
+            list(cluster_by)
+            if isinstance(cluster_by, (list, tuple)) and len(cluster_by) > 1
+            else None
+        )
+        if isinstance(cluster_by, (list, tuple)) and not zorder_cols:
+            cluster_by = cluster_by[0] if cluster_by else None
+        if zorder_cols:
+            from .zorder import z_value_column
+
+            zcol, _cuts = z_value_column(df, zorder_cols)
+            df = df.withColumn("__zval", zcol)
+            part = (
+                df.repartitionByRange(
+                    num_buckets * target_files_per_bucket,
+                    F.col("__bucket"), F.col("__zval"),
+                )
+                .sortWithinPartitions("__zval", key)
+                .drop("__zval")  # transient layout key; projection keeps order
+            )
+        elif target_files_per_bucket > 1 or cluster_by:
             split = F.col(cluster_by) if cluster_by else F.col(key)
             part = df.repartitionByRange(
                 num_buckets * target_files_per_bucket, F.col("__bucket"), split
-            )
+            ).sortWithinPartitions(key)
         else:
-            part = df.repartition(num_buckets, "__bucket")
+            part = df.repartition(num_buckets, "__bucket") \
+                     .sortWithinPartitions(key)
         (
             part
-            .sortWithinPartitions(key)
             .write.mode("errorifexists")
             .partitionBy("__bucket")
             .parquet(commit_dir)
@@ -1521,7 +1549,11 @@ class SnapTable:
         (Delta's OPTIMIZE ZORDER for one dimension) — combined with the
         ``stats_columns`` property, read_where then prunes files WITHIN a
         bucket, which is where most of the skipping lives once buckets are
-        the 0.25-1 GB design size."""
+        the 0.25-1 GB design size. Pass a LIST of >= 2 columns to Z-ORDER
+        instead: files are split on a Morton interleave of the columns'
+        quantile ranks (streaming/zorder.py), keeping every file's min/max
+        narrow on all listed columns at once — read_where prunes on any of
+        them (the full multi-dimensional OPTIMIZE ZORDER analog)."""
         for _ in range(max(max_commit_retries, 0) + 1):
             man = self.manifest()
             if not man["files"]:
