@@ -677,6 +677,103 @@ def _dml_oracle_sql(log_path: str) -> str:
     """
 
 
+_MI_ORACLE_LOG = f"{_ORACLE_TMP}/mi_log"
+
+
+def _cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE INTO lifecycle (Delta MERGE grammar parity),
+    hard-verified: after the standard replay, a deterministic source
+    batch (ids i*37 — low ids match hot Zipf docs, ids past the doc-space
+    ceiling are guaranteed new) merges with all three clauses at once:
+    DELETE matched rows whose target n_tok is divisible by 7, UPDATE the
+    rest under the out-of-order guard s.n_tok > t.n_tok, INSERT unmatched
+    sources where n_tok % 3 != 0. The DuckDB oracle replays the identical
+    clause algebra in SQL over the same replayed state; clause precedence
+    (delete beats update), NULL-condition-is-false, and no-op rows are
+    all in the compared multiset. tests/test_merge_into.py pins the
+    engine-side contracts (watermark modes, feed images, race
+    recompute)."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="mi_entry_")
+    shutil.rmtree(_MI_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+        )
+        write_changes(spark, cfg, _MI_ORACLE_LOG)
+        pipe = CdcPipeline(
+            spark,
+            _MI_ORACLE_LOG,
+            os.path.join(work, "table"),
+            num_buckets=8,
+        )
+        pipe.run()
+        t = pipe.table
+        batch = spark.range(100).select(
+            F.format_string("doc-%08d", (F.col("id") * 37).cast("int"))
+            .alias("doc_id"),
+            (F.lit(7000) + F.col("id")).cast("int").alias("n_tok"),
+            F.lit("batch").alias("source"),
+        )
+        t.merge_into(
+            batch,
+            when_matched_update={"n_tok": "s.n_tok", "source": "s.source"},
+            when_matched_update_condition="s.n_tok > t.n_tok",
+            when_matched_delete_condition="t.n_tok % 7 = 0",
+            when_not_matched_condition="s.n_tok % 3 != 0",
+        )
+        out = t.read().select("doc_id", "n_tok", "source")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _merge_into_oracle_sql(log_path: str) -> str:
+    """SQL replay of the three-clause merge over the replayed state:
+    unmatched target rows pass through; matched rows delete when the
+    delete condition is TRUE (IS TRUE: NULL keeps), else update under
+    the guard; unmatched source rows insert under the insert filter."""
+    return f"""
+        WITH state AS ({_replay_oracle_sql(log_path)}),
+        src AS (
+          SELECT 'doc-' || lpad(CAST(i * 37 AS VARCHAR), 8, '0') AS doc_id,
+                 CAST(7000 + i AS INT) AS n_tok,
+                 'batch' AS source
+          FROM generate_series(0, 99) g(i)
+        ),
+        matched AS (
+          SELECT st.doc_id, st.n_tok, st.source,
+                 s.n_tok AS s_n_tok, s.source AS s_source
+          FROM state st JOIN src s USING (doc_id)
+        )
+        SELECT st.doc_id, st.n_tok, st.source
+        FROM state st
+        WHERE st.doc_id NOT IN (SELECT doc_id FROM src)
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN s_n_tok > n_tok THEN s_n_tok ELSE n_tok END AS n_tok,
+               CASE WHEN s_n_tok > n_tok THEN s_source ELSE source
+                 END AS source
+        FROM matched
+        WHERE (n_tok % 7 = 0) IS NOT TRUE
+        UNION ALL
+        SELECT s.doc_id, s.n_tok, s.source
+        FROM src s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM state)
+          AND s.n_tok % 3 != 0
+    """
+
+
 _SCDF_ORACLE_LOG = f"{_ORACLE_TMP}/streamfeed_log"
 
 
@@ -2141,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state": _cdc_replay_state,
         "cdc_changefeed": _cdc_changefeed,
         "cdc_dml_state": _cdc_dml_state,
+        "cdc_merge_into": _cdc_merge_into,
         "streaming_changefeed": _streaming_changefeed,
         "incremental_agg_view": _incremental_agg_view,
         "derived_replica": _derived_replica,
@@ -2316,6 +2414,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state": _replay_oracle_sql(_CDC_ORACLE_LOG),
         "cdc_changefeed": _changefeed_oracle_sql(_CDF_ORACLE_LOG),
         "cdc_dml_state": _dml_oracle_sql(_DML_ORACLE_LOG),
+        "cdc_merge_into": _merge_into_oracle_sql(_MI_ORACLE_LOG),
         "streaming_changefeed": _changefeed_oracle_sql(_SCDF_ORACLE_LOG),
         "incremental_agg_view": f"""
             WITH state AS ({_replay_oracle_sql(_AGG_ORACLE_LOG)})

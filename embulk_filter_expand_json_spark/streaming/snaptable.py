@@ -1314,6 +1314,181 @@ class SnapTable:
             f"update_where exhausted {max_commit_retries} recompute retries"
         ) from last_err
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        *,
+        epoch: Optional[int] = None,
+        when_matched_update: Optional[dict] = None,
+        when_matched_update_condition=None,
+        when_matched_delete_condition=None,
+        when_not_matched_insert: bool = True,
+        when_not_matched_condition=None,
+        max_commit_retries: int = 10,
+    ) -> dict:
+        """Conditional MERGE INTO (the full Delta/Iceberg MERGE grammar,
+        where :meth:`merge` is the fixed LWW upsert/delete the CDC apply
+        needs)::
+
+            WHEN MATCHED [AND delete_cond] THEN DELETE
+            WHEN MATCHED [AND update_cond] THEN UPDATE SET {col: expr}
+            WHEN NOT MATCHED [AND insert_cond] THEN INSERT
+
+        Conditions and SET expressions are SQL strings (or Columns) over
+        the aliases ``s`` (source row) and ``t`` (matched target row) —
+        e.g. the out-of-order CDC guard ``when_matched_update_condition=
+        "s.log_offset > t.log_offset"``. Clause semantics (documented
+        order, Delta's defaults): a matched row satisfying the DELETE
+        condition deletes; else satisfying the UPDATE condition (default:
+        always, when ``when_matched_update`` is given) updates; else it is
+        a NO-OP — the row is untouched and its bucket not rewritten
+        unless something else changed there. NULL conditions are false
+        (SQL WHEN). Unmatched TARGET rows are always kept (there is no
+        WHEN NOT MATCHED BY SOURCE — that is :meth:`delete_where`'s job).
+        ``source`` must carry the merge key, ONE ROW PER KEY (same hard
+        contract as merge()); NULL is one logical key.
+
+        Scale shape: the target is read bucket-pruned to the buckets the
+        source keys hash into, matched rows come from an INNER join with
+        the broadcast source (target rows are never shuffled), and the
+        insert branch anti-joins the source against the broadcast matched
+        key set — two scans of only the touched buckets, zero exchanges
+        of target data. The resulting change set then rides the ordinary
+        staged MERGE (bucket-local rewrite, MoR deferral, change feed
+        with update after-images / delete pre-images, optimistic
+        concurrency).
+
+        ``epoch``: with an epoch this is a SOURCE-PROGRESS commit
+        (advances the watermark, exactly-once per epoch — a pipeline can
+        use conditional merges); with ``epoch=None`` it commits as
+        interactive DML (watermark pinned, overlapping races recompute
+        against fresh state — same contract as delete_where/update_where).
+        """
+        man = self.manifest()
+        key = man["key"]
+        num_buckets = man["num_buckets"]
+        schema = T.StructType.fromJson(man["schema"])
+        declared = {f.name for f in schema.fields}
+        if key not in source.columns:
+            raise ValueError(f"merge_into source lacks the merge key {key!r}")
+        if when_matched_update:
+            bad = sorted(set(when_matched_update) - declared)
+            if bad:
+                raise ValueError(f"merge_into: unknown column(s) {bad}")
+            if key in when_matched_update:
+                raise ValueError(
+                    f"merge_into cannot reassign the merge key {key!r}"
+                )
+        if (
+            when_matched_update is None
+            and when_matched_delete_condition is None
+            and not when_not_matched_insert
+        ):
+            raise ValueError("merge_into: no WHEN clause given")
+        if when_matched_update is None and when_matched_update_condition is not None:
+            raise ValueError(
+                "when_matched_update_condition without when_matched_update"
+            )
+
+        def _cond(c, default: bool):
+            if c is None:
+                return F.lit(default)
+            col = F.expr(c) if isinstance(c, str) else c
+            return F.coalesce(col.cast("boolean"), F.lit(False))
+
+        # absent clause -> never fires; present clause without a condition
+        # -> always fires on matched rows (Delta's default)
+        upd_cond = (
+            F.lit(False)
+            if when_matched_update is None
+            else _cond(when_matched_update_condition, True)
+        )
+        del_cond = (
+            F.lit(False)
+            if when_matched_delete_condition is None
+            else _cond(when_matched_delete_condition, True)
+        )
+        ins_cond = _cond(when_not_matched_condition, True)
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in (when_matched_update or {}).items()
+        }
+
+        last_err: Optional[Exception] = None
+        for _ in range(max_commit_retries + 1):
+            # touched buckets: one tiny job over the (delta-sized) source
+            bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets))
+            buckets = sorted(
+                r[0]
+                for r in source.select(bucket_of.alias("b")).distinct().collect()
+            )
+            target = self.read_buckets(buckets)
+            matched = target.alias("t").join(
+                F.broadcast(source.alias("s")),
+                on=F.col(f"t.{key}").eqNullSafe(F.col(f"s.{key}")),
+                how="inner",
+            )
+            m_out = (
+                matched.withColumn("__mi_delete", del_cond)
+                .withColumn("__mi_update", ~del_cond & upd_cond)
+                .filter(F.col("__mi_delete") | F.col("__mi_update"))
+                .select(
+                    *[
+                        F.when(
+                            F.col("__mi_update"),
+                            assigns.get(f.name, F.col(f"t.{f.name}")),
+                        )
+                        .otherwise(F.col(f"t.{f.name}"))  # delete: pre-image
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in schema.fields
+                    ],
+                    F.col("__mi_delete"),
+                )
+            )
+            deltas = m_out
+            if when_not_matched_insert:
+                matched_keys = matched.select(F.col(f"t.{key}").alias("__mk"))
+                ins = (
+                    source.alias("s")
+                    .join(
+                        F.broadcast(matched_keys),
+                        on=F.col(f"s.{key}").eqNullSafe(F.col("__mk")),
+                        how="left_anti",
+                    )
+                    .filter(ins_cond)
+                    .select(
+                        *[
+                            (
+                                F.col(f"s.{f.name}")
+                                if f.name in source.columns
+                                else F.lit(None)
+                            )
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            for f in schema.fields
+                        ],
+                        F.lit(False).alias("__mi_delete"),
+                    )
+                )
+                deltas = m_out.unionByName(ins)
+            try:
+                return self.merge(
+                    deltas,
+                    epoch=-1 if epoch is None else epoch,
+                    delete_col="__mi_delete",
+                    max_commit_retries=0 if epoch is None else max_commit_retries,
+                    _dml_op="merge-into" if epoch is None else None,
+                )
+            except CommitConflict as e:
+                if epoch is not None:
+                    raise
+                last_err = e
+                continue
+        raise CommitConflict(
+            f"merge_into exhausted {max_commit_retries} recompute retries"
+        ) from last_err
+
     # ------------------------------------------------- concurrency control
     def _rebase_merge(
         self,
@@ -1375,7 +1550,7 @@ class SnapTable:
                     compatible = False  # expired mid-race: can't validate
                     break
                 op = (mid.get("summary") or {}).get("op")
-                if op in ("merge", "delete-where", "update-where"):
+                if op in ("merge", "delete-where", "update-where", "merge-into"):
                     touched = set(mid["summary"].get("buckets") or ())
                     if not touched or (touched & conflict_buckets):
                         compatible = False
