@@ -271,6 +271,68 @@ class SnapTable:
             )
         return out
 
+    def files_df(self, version: Optional[int] = None) -> DataFrame:
+        """The manifest's file inventory as a DataFrame (Iceberg's
+        ``.files`` metadata table / Delta's add-file listing): one row per
+        data file with bucket, kind (base|delta), bytes, the footer row
+        count recorded at commit time (NULL for files committed before
+        ``stats_columns`` was set — stats collection is what opens the
+        footer), LWW sequence + delete flag for delta files, and the
+        recorded column stats as a JSON string. Metadata-only: built from
+        the manifest, no file I/O, no Spark job beyond createDataFrame of
+        a manifest-sized list — the observability hook maintenance
+        tooling needs (skew per bucket, delta-stack depth, clustering
+        quality) without scanning data."""
+        man = self.manifest(version)
+        rows = [
+            (
+                f["path"],
+                int(f["bucket"]),
+                f.get("kind", "base"),
+                int(f["bytes"]) if f.get("bytes") is not None else None,
+                int(f["rows"]) if f.get("rows") is not None else None,
+                int(f["seq"]) if f.get("seq") is not None else None,
+                bool(f["delete"]) if f.get("delete") is not None else None,
+                json.dumps(f["stats"]) if f.get("stats") else None,
+            )
+            for f in man["files"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, bucket int, kind string, bytes long, rows long, "
+            "seq long, is_delete boolean, stats string",
+        )
+
+    def describe_detail(self, version: Optional[int] = None) -> dict:
+        """One-call table summary (Delta ``DESCRIBE DETAIL`` analog),
+        metadata-only: layout, file/byte/row tallies split base vs delta
+        (delta share = the MoR read-amplification signal), feed retention
+        window, and properties."""
+        man = self.manifest(version)
+        base = [f for f in man["files"] if f.get("kind", "base") == "base"]
+        deltas = [f for f in man["files"] if f.get("kind") == "delta"]
+        rows_known = [f["rows"] for f in base if f.get("rows") is not None]
+        changes = man.get("changes")
+        return {
+            "version": man["version"],
+            "key": man["key"],
+            "num_buckets": man["num_buckets"],
+            "last_committed_epoch": man["last_committed_epoch"],
+            "num_base_files": len(base),
+            "num_delta_files": len(deltas),
+            "base_bytes": sum(f.get("bytes", 0) for f in base),
+            "delta_bytes": sum(f.get("bytes", 0) for f in deltas),
+            # physical footer rows of base files; a lower bound on nothing
+            # and an exact count only for a fully-compacted table — stated
+            # as "recorded", never as the logical count
+            "base_rows_recorded": sum(rows_known) if rows_known else None,
+            "columns": [f.name for f in self.schema().fields],
+            "changelog_entries": len(changes) if changes is not None else None,
+            "changes_valid_from": man.get("changes_valid_from"),
+            "properties": man.get("properties", {}),
+            "committed_at": man.get("committed_at"),
+        }
+
     def read(
         self, version: Optional[int] = None, as_of_ts: Optional[float] = None
     ) -> DataFrame:
@@ -659,6 +721,11 @@ class SnapTable:
                 md = pq.read_metadata(self.fs.open_input(self._mpath(e["path"])))
             except Exception:
                 continue
+            # physical row count rides the footer for free: metadata-only
+            # observability (files_df/describe_detail) and future count
+            # fast paths — never used for answers (LWW resolution owns
+            # logical counts)
+            e["rows"] = md.num_rows
             names = md.schema.names
             stats: dict = {}
             for c in cols:
