@@ -774,6 +774,159 @@ def _merge_into_oracle_sql(log_path: str) -> str:
     """
 
 
+_RW_ORACLE_LOG = f"{_ORACLE_TMP}/rw_log"
+
+
+def _cdc_read_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned range scan over a Z-ORDERED table, hard-verified: the
+    standard replay runs with ``stats_columns`` on, the table is then
+    z-order-compacted on (n_tok, source), and the result is
+    ``read_where`` slices on BOTH dimensions union'd — file-level
+    data skipping in the answer path, not just in a plan assertion. The
+    query raises if the prune preview shows no files skipped on either
+    dimension (so a silent stats regression fails loudly rather than
+    degrading to full scans), and the DuckDB oracle is the plain WHERE
+    over the replayed state — pruning must never change the answer."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="rw_entry_")
+    shutil.rmtree(_RW_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+        )
+        write_changes(spark, cfg, _RW_ORACLE_LOG)
+        pipe = CdcPipeline(
+            spark,
+            _RW_ORACLE_LOG,
+            os.path.join(work, "table"),
+            num_buckets=4,
+            stats_columns=["n_tok", "source"],
+        )
+        pipe.run()
+        t = pipe.table
+        t.compact(target_files_per_bucket=8, cluster_by=["n_tok", "source"])
+        for col, lo, hi in (("n_tok", 40, 120), ("source", "src2", "src4")):
+            pv = t.prune_preview(col, lo, hi)
+            if pv["base_files_read"] >= pv["base_files"]:
+                raise AssertionError(
+                    f"z-order stats skipped nothing on {col}: {pv}"
+                )
+        lowtok = t.read_where("n_tok", 40, 120)
+        midsrc = t.read_where("source", "src2", "src4")
+        out = (
+            lowtok.select("doc_id", "n_tok", "source")
+            .withColumn("slice", F.lit("n_tok"))
+            .unionByName(
+                midsrc.select("doc_id", "n_tok", "source")
+                .withColumn("slice", F.lit("source"))
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _read_where_oracle_sql(log_path: str) -> str:
+    return f"""
+        WITH state AS ({_replay_oracle_sql(log_path)})
+        SELECT doc_id, n_tok, source, 'n_tok' AS slice
+        FROM state WHERE n_tok BETWEEN 40 AND 120
+        UNION ALL
+        SELECT doc_id, n_tok, source, 'source' AS slice
+        FROM state WHERE source BETWEEN 'src2' AND 'src4'
+    """
+
+
+_SCD2_ORACLE_LOG = f"{_ORACLE_TMP}/scd2_log"
+
+
+def _cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history replica lifecycle, hard-verified: the standard
+    changelog replay runs, then streaming/scd.py folds the change feed
+    into interval rows (payload + valid_from/valid_to epoch + open flag)
+    in TWO incremental applies (mid-run + catch-up) so the cross-batch
+    interval closure is in the compared result, across the mid-stream
+    'lang' evolution. The DuckDB oracle derives the same intervals
+    straight from the materialized log: per-(epoch, doc) LWW winners
+    (the feed oracle) + lead(epoch) per doc — upserts open intervals,
+    the next change closes them, deletes open nothing.
+    tests/test_scd2.py additionally pins as_of_epoch == source time
+    travel for every epoch."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+    from embulk_filter_expand_json_spark.streaming.scd import Scd2Replica
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="scd2_entry_")
+    shutil.rmtree(_SCD2_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+        )
+        write_changes(spark, cfg, _SCD2_ORACLE_LOG)
+        pipe = CdcPipeline(
+            spark,
+            _SCD2_ORACLE_LOG,
+            os.path.join(work, "table"),
+            num_buckets=8,
+            changelog=True,
+        )
+        pipe.run()
+        t = pipe.table
+        scd = Scd2Replica(spark, t, os.path.join(work, "scd"))
+        vmid = t.manifest()["version"] - 2
+        if vmid > int(t.manifest().get("changes_valid_from", 0)):
+            scd.apply(to_version=vmid)  # incremental first half
+        scd.apply()
+        hist = scd.history()
+        lang = (
+            F.col("lang")
+            if "lang" in hist.columns
+            else F.lit(None).cast("string")
+        )
+        out = hist.select(
+            "doc_id", "n_tok", "source", lang.alias("lang"),
+            "valid_from_epoch", "valid_to_epoch", "_scd_open",
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _scd2_oracle_sql(log_path: str) -> str:
+    return f"""
+        WITH feed AS ({_changefeed_oracle_sql(log_path)}),
+        seq AS (
+          SELECT *, lead(_commit_epoch) OVER (
+                   PARTITION BY doc_id ORDER BY _commit_epoch
+                 ) AS next_epoch
+          FROM feed
+        )
+        SELECT doc_id, n_tok, source, lang,
+               CAST(_commit_epoch AS BIGINT) AS valid_from_epoch,
+               CAST(next_epoch AS BIGINT) AS valid_to_epoch,
+               next_epoch IS NULL AS _scd_open
+        FROM seq WHERE _change_type = 'upsert'
+    """
+
+
 _SCDF_ORACLE_LOG = f"{_ORACLE_TMP}/streamfeed_log"
 
 
@@ -2239,6 +2392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changefeed": _cdc_changefeed,
         "cdc_dml_state": _cdc_dml_state,
         "cdc_merge_into": _cdc_merge_into,
+        "cdc_read_where": _cdc_read_where,
+        "cdc_scd2_history": _cdc_scd2_history,
         "streaming_changefeed": _streaming_changefeed,
         "incremental_agg_view": _incremental_agg_view,
         "derived_replica": _derived_replica,
@@ -2415,6 +2570,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changefeed": _changefeed_oracle_sql(_CDF_ORACLE_LOG),
         "cdc_dml_state": _dml_oracle_sql(_DML_ORACLE_LOG),
         "cdc_merge_into": _merge_into_oracle_sql(_MI_ORACLE_LOG),
+        "cdc_read_where": _read_where_oracle_sql(_RW_ORACLE_LOG),
+        "cdc_scd2_history": _scd2_oracle_sql(_SCD2_ORACLE_LOG),
         "streaming_changefeed": _changefeed_oracle_sql(_SCDF_ORACLE_LOG),
         "incremental_agg_view": f"""
             WITH state AS ({_replay_oracle_sql(_AGG_ORACLE_LOG)})

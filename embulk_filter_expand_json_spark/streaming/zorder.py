@@ -120,7 +120,24 @@ def z_value_column(
     # compaction time (the only caller) the full-state rewrite dwarfs it
     total = df.count()
     cuts = {c: _cuts_for(df, c, n_cuts, sample_rows, total) for c in cols}
-    ranks = [rank_against_cuts(F.col(c), cuts[c]) for c in cols]
+    # Scale every rank to the FULL bit width: a low-cardinality column
+    # (e.g. 8 distinct values -> 7 cuts -> ranks 0..7) would otherwise
+    # populate only its LOW bit positions, letting a high-cardinality
+    # co-column's high bits dominate the z-order entirely — files end up
+    # clustered on one dimension and the other gets zero skipping (found
+    # by the contract gate on the 8-value `source` column).
+    ranks = [
+        (
+            F.floor(
+                rank_against_cuts(F.col(c), cuts[c])
+                * F.lit(n_cuts)
+                / F.lit(len(cuts[c]))
+            ).cast("long")
+            if cuts[c]
+            else F.lit(0).cast("long")
+        )
+        for c in cols
+    ]
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, r in enumerate(ranks):

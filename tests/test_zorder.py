@@ -41,7 +41,10 @@ def test_z_value_column_matches_python_oracle(spark):
     got = df.withColumn("z", zcol).select("x", "y", "z").collect()
 
     def rank(v, cs):
-        return sum(1 for c in cs if v >= c)
+        # raw predecessor count, scaled to the full 6-bit width (the
+        # low-cardinality fairness rule — see z_value_column)
+        raw = sum(1 for c in cs if v >= c)
+        return raw * 63 // len(cs) if cs else 0
 
     for r in got:
         expect = interleave_bits(
@@ -137,6 +140,25 @@ def test_zorder_with_nulls_keeps_answers(spark, tmp_path):
     )
     assert got == want
     assert t.read().count() == 1_500  # NULL rows intact in the table
+
+
+def test_zorder_low_cardinality_dim_still_prunes(spark, tmp_path):
+    """8-distinct-value column next to a 100k-cardinality one: without
+    full-bit-width rank scaling the wide column's high bits own the
+    z-order and the narrow column gets zero skipping (the contract-gate
+    regression this pins)."""
+    rng = random.Random(3)
+    rows = [
+        (f"doc-{i:05d}", [i], rng.randrange(100_000),
+         f"src{rng.randrange(8)}", False)
+        for i in range(4_000)
+    ]
+    t = _load(spark, tmp_path, rows, "lowcard")
+    t.compact(target_files_per_bucket=16, cluster_by=["n_tok", "source"])
+    ps = t.prune_preview("source", "src2", "src4")
+    pn = t.prune_preview("n_tok", 10_000, 19_999)
+    assert ps["base_files_read"] < ps["base_files"], ps
+    assert pn["base_files_read"] < pn["base_files"], pn
 
 
 def test_zorder_list_of_one_falls_back_to_range(spark, tmp_path, corpus):
