@@ -1,0 +1,147 @@
+"""spark-submit entrypoint for table MAINTENANCE — the operational verbs
+around the replay job (jobs/replay.py), one exactly-where-you-expect-it
+CLI per SnapTable operation:
+
+    spark-submit --py-files dist/engine.zip jobs/maintain.py \
+        <verb> --table /path/to/table [verb options]
+
+Verbs:
+    describe                       DESCRIBE DETAIL (one JSON object)
+    history                        commit log, one JSON line per version
+    files                          file inventory, one JSON line per file
+    compact [--target-files N] [--cluster-by a,b]   bin-pack / (z-)cluster
+    rebucket --num-buckets N       bucket-layout evolution
+    restore --version V            metadata-only rollback
+    expire [--keep-last N]         expire_snapshots
+    vacuum [--older-than-sec S]    remove orphaned files
+    delete-where --where SQL       row-level DELETE
+    update-where --where SQL --set col=expr[,col=expr]   row-level UPDATE
+
+All verbs are thin: parse, construct the session, call the one method.
+The engine ships via --py-files exactly like the replay job; maintenance
+services built from these verbs may safely RACE the replay (optimistic
+concurrency resolves, see snaptable.py's conflict matrix).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_set(spec: str) -> dict:
+    """col=expr[,col=expr] — splits on commas NOT inside parens/quotes so
+    expressions like concat(a, b) survive."""
+    out, buf, depth, quote = {}, "", 0, None
+    parts = []
+    for ch in spec:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(buf)
+            buf = ""
+            continue
+        buf += ch
+    if buf.strip():
+        parts.append(buf)
+    for p in parts:
+        col, eq, expr = p.partition("=")
+        if not eq or not col.strip() or not expr.strip():
+            raise SystemExit(f"--set entry {p!r} is not col=expr")
+        out[col.strip()] = expr.strip()
+    return out
+
+
+def run(spark, argv) -> int:
+    """Verb dispatch against an existing session (pytest drives this
+    directly; main() wraps it for spark-submit)."""
+    ap = argparse.ArgumentParser(description="SnapTable maintenance")
+    sub = ap.add_subparsers(dest="verb", required=True)
+
+    def p(name):
+        s = sub.add_parser(name)
+        s.add_argument("--table", required=True)
+        return s
+
+    p("describe")
+    p("history")
+    p("files")
+    c = p("compact")
+    c.add_argument("--target-files", type=int, default=1)
+    c.add_argument("--cluster-by", default=None,
+                   help="one column = range clustering; comma-separated "
+                   "columns = z-order")
+    r = p("rebucket")
+    r.add_argument("--num-buckets", type=int, required=True)
+    rs = p("restore")
+    rs.add_argument("--version", type=int, required=True)
+    e = p("expire")
+    e.add_argument("--keep-last", type=int, default=2)
+    v = p("vacuum")
+    v.add_argument("--older-than-sec", type=float, default=3600.0)
+    d = p("delete-where")
+    d.add_argument("--where", required=True)
+    u = p("update-where")
+    u.add_argument("--where", required=True)
+    u.add_argument("--set", required=True, dest="set_spec")
+    args = ap.parse_args(argv)
+
+    from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
+
+    t = SnapTable(spark, args.table)
+    if args.verb == "describe":
+        print(json.dumps(t.describe_detail(), default=str))
+    elif args.verb == "history":
+        for h in t.history():
+            print(json.dumps(h, default=str))
+    elif args.verb == "files":
+        for row in t.files_df().toLocalIterator():
+            print(json.dumps(row.asDict(), default=str))
+    elif args.verb == "compact":
+        cb = args.cluster_by
+        if cb and "," in cb:
+            cb = [c for c in cb.split(",") if c]
+        print(json.dumps(t.compact(
+            target_files_per_bucket=args.target_files, cluster_by=cb
+        )))
+    elif args.verb == "rebucket":
+        print(json.dumps(t.rebucket(args.num_buckets)))
+    elif args.verb == "restore":
+        print(json.dumps(t.restore(args.version)))
+    elif args.verb == "expire":
+        print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
+    elif args.verb == "vacuum":
+        print(json.dumps(t.remove_orphans(older_than_sec=args.older_than_sec)))
+    elif args.verb == "delete-where":
+        print(json.dumps(t.delete_where(args.where)))
+    elif args.verb == "update-where":
+        print(json.dumps(t.update_where(args.where, _parse_set(args.set_spec))))
+    return 0
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("snaptable-maintain")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        return run(spark, sys.argv[1:])
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
