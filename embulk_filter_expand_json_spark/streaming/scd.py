@@ -50,6 +50,13 @@ from .snaptable import SnapTable
 _SCD_META = [
     T.StructField("valid_from_epoch", T.LongType(), True),
     T.StructField("valid_to_epoch", T.LongType(), True),
+    # version-clock twins of the epoch bounds: commit VERSIONS are unique
+    # per commit while interactive DML commits REUSE the pinned watermark
+    # epoch — so under DML traffic the epoch interval can be zero-width
+    # (valid_from == valid_to) and only the version interval totally
+    # orders the history. Pipelines without DML see both clocks agree.
+    T.StructField("valid_from_version", T.LongType(), True),
+    T.StructField("valid_to_version", T.LongType(), True),
     T.StructField("_scd_open", T.BooleanType(), True),
     T.StructField("_scd_key", T.StringType(), False),
 ]
@@ -112,6 +119,7 @@ class Scd2Replica:
             changes.withColumn(
                 "__next_epoch", F.lead("_commit_epoch").over(w)
             )
+            .withColumn("__next_v", F.lead("_commit_version").over(w))
             .withColumn("__first_v", F.min("_commit_version").over(
                 Window.partitionBy(key)
             ))
@@ -121,7 +129,9 @@ class Scd2Replica:
             *payload,
             F.col("_commit_epoch").alias("valid_from_epoch"),
             F.col("__next_epoch").alias("valid_to_epoch"),
-            F.col("__next_epoch").isNull().alias("_scd_open"),
+            F.col("_commit_version").alias("valid_from_version"),
+            F.col("__next_v").alias("valid_to_version"),
+            F.col("__next_v").isNull().alias("_scd_open"),
             F.concat_ws(
                 "@",
                 F.coalesce(F.col(key).cast("string"), F.lit("␀null")),
@@ -129,12 +139,13 @@ class Scd2Replica:
             ).alias("_scd_key"),
         )
         # close intervals the PREVIOUS applies left open, at each key's
-        # first change epoch in this batch (whether upsert or delete)
+        # first change in this batch (whether upsert or delete)
         firsts = (
             ch.filter(F.col("_commit_version") == F.col("__first_v"))
             .select(
                 F.col(key).alias("__k"),
                 F.col("_commit_epoch").alias("__close_epoch"),
+                F.col("_commit_version").alias("__close_v"),
             )
             .distinct()
         )
@@ -148,6 +159,7 @@ class Scd2Replica:
                 how="inner",
             )
             .withColumn("valid_to_epoch", F.col("__close_epoch"))
+            .withColumn("valid_to_version", F.col("__close_v"))
             .withColumn("_scd_open", F.lit(False))
             .select(*[f.name for f in self.table.schema().fields])
         )
@@ -159,6 +171,22 @@ class Scd2Replica:
     def history(self):
         """The full interval table (payload + validity window)."""
         return self.table.read().drop("_scd_key")
+
+    def as_of_version(self, version: int):
+        """Point-in-time view by source COMMIT VERSION — the unambiguous
+        clock when the source sees interactive DML (which reuses the
+        pinned watermark epoch, making epoch intervals zero-width)."""
+        return (
+            self.table.read()
+            .filter(
+                (F.col("valid_from_version") <= version)
+                & (
+                    F.col("valid_to_version").isNull()
+                    | (F.col("valid_to_version") > version)
+                )
+            )
+            .drop("_scd_key")
+        )
 
     def as_of_epoch(self, epoch: int):
         """Point-in-time view: every key's payload valid AT ``epoch`` —

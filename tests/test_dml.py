@@ -334,3 +334,23 @@ def test_delete_where_defers_under_mor(spark, tmp_path):
     assert r["buckets_deferred"] == 1 and r["files_rewritten"] == 0
     assert any(f.get("kind") == "delta" for f in t.manifest()["files"])
     assert ids[0][0] not in _docs(t)
+
+
+def test_replica_converges_after_dml(spark, table, tmp_path):
+    """Derived tables key their exactly-once on source VERSIONS, so DML
+    commits (which reuse the watermark epoch) replicate like any other
+    commit — replica state equals source state after DML + catch-up."""
+    from embulk_filter_expand_json_spark.streaming.replicate import replicate
+
+    t, _, ids = table
+    dst = str(tmp_path / "replica")
+    replicate(spark, t, dst)
+    t.update_where("source = 'web'", {"n_tok": "n_tok + 500"})
+    t.delete_where(f"doc_id = '{ids[0][0]}'")
+    replicate(spark, t, dst)
+    got = sorted(
+        (r["doc_id"], r["n_tok"])
+        for r in SnapTable(spark, dst).read().collect()
+    )
+    want = sorted((r["doc_id"], r["n_tok"]) for r in t.read().collect())
+    assert got == want

@@ -136,3 +136,31 @@ def test_open_rows_read_is_file_pruned(spark, source, tmp_path):
     scd.table.compact(target_files_per_bucket=4, cluster_by="_scd_open")
     pv = scd.table.prune_preview("_scd_open", True, True)
     assert pv["base_files_read"] < pv["base_files"], pv
+
+
+def test_version_clock_under_dml(spark, source, tmp_path):
+    """Interactive DML reuses the pinned watermark epoch, so the epoch
+    interval can be zero-width — the version clock must still totally
+    order the history and as_of_version must see every state."""
+    t, versions = source
+    t.update_where("doc_id = 'a'", {"n_tok": "n_tok + 1000"})  # same epoch 3
+    v_dml = t.manifest()["version"]
+    scd = Scd2Replica(spark, t, str(tmp_path / "scd"))
+    scd.apply()
+    a_rows = sorted(
+        (r["valid_from_version"], r["valid_to_version"], r["n_tok"],
+         r["valid_from_epoch"], r["valid_to_epoch"])
+        for r in scd.history().filter("doc_id = 'a'").collect()
+    )
+    # four intervals, version-contiguous, last one open with the DML value
+    assert [r[2] for r in a_rows] == [10, 11, 12, 1012]
+    assert a_rows[-1][0] == v_dml and a_rows[-1][1] is None
+    assert all(a_rows[i][1] == a_rows[i + 1][0] for i in range(3))
+    # the epoch clock IS ambiguous here: the interval the DML closed is
+    # zero-width in epochs (DML reuses the pinned watermark epoch)
+    assert a_rows[2][3] == a_rows[2][4] == 3
+    # version point-in-time sees the pre-DML value; epoch clock cannot
+    got = scd.as_of_version(v_dml - 1).filter("doc_id = 'a'").collect()
+    assert [r["n_tok"] for r in got] == [12]
+    got2 = scd.as_of_version(v_dml).filter("doc_id = 'a'").collect()
+    assert [r["n_tok"] for r in got2] == [1012]
