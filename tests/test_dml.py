@@ -354,3 +354,34 @@ def test_replica_converges_after_dml(spark, table, tmp_path):
     )
     want = sorted((r["doc_id"], r["n_tok"]) for r in t.read().collect())
     assert got == want
+
+
+def test_aggview_converges_after_dml(spark, table, tmp_path):
+    """The incremental aggregate view diffs bucket state between its
+    synced VERSION and the current one, so watermark-pinned DML commits
+    (update shifting a sum, delete dropping rows) must fold in exactly
+    like CDC epochs — pinned against a from-scratch GROUP BY."""
+    from embulk_filter_expand_json_spark.streaming.aggview import (
+        IncrementalAggView,
+    )
+
+    t, _, ids = table
+    view = IncrementalAggView(
+        spark, t, str(tmp_path / "view"), group_col="source",
+        sum_cols=["n_tok"],
+    )
+    view.sync()
+    t.update_where("source = 'web'", {"n_tok": "n_tok + 100"})
+    t.delete_where(f"doc_id = '{ids[0][0]}'")
+    view.sync()
+    got = sorted(tuple(r) for r in view.read().collect())
+    # from-scratch GROUP BY, aliased to the view's own column order
+    cols = view.read().columns
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in t.read().groupBy("source").agg(
+            F.count("*").alias(cols[1]),
+            F.sum("n_tok").cast("long").alias(cols[2]),
+        ).collect()
+    )
+    assert got == want
