@@ -282,6 +282,23 @@ def main() -> None:
         assert r["mode"] == "incremental", r
         timings["feed_replicate"] = round(dt, 3)
         extras["feed_rows"] = pipe.table.read_changes(0).count()
+
+        # SCD2 history build: the other feed-consumer product — turn the
+        # full retained change feed into interval rows (valid_from/to per
+        # key-version). Cost is feed-proportional (one window over the
+        # change batch + an open-rows closure join), so this key tracks
+        # the feed->history path the way feed_replicate tracks feed->copy.
+        from embulk_filter_expand_json_spark.streaming.scd import (
+            Scd2Replica,
+        )
+
+        scd_path = os.path.join(work, "scd2")
+        t0 = time.time()
+        scd = Scd2Replica(spark, pipe.table, scd_path)
+        scd.apply()
+        dt = time.time() - t0
+        timings["scd2_history"] = round(dt, 3)
+        extras["scd2_rows"] = scd.history().count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
