@@ -1974,17 +1974,36 @@ class SnapTable:
             f"{max_commit_retries} retries"
         )
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 2, older_than: Optional[float] = None
+    ) -> dict:
         """Iceberg ``expire_snapshots``: drop manifest versions older than
         the newest ``keep_last`` and delete every data file referenced ONLY
         by expired versions. Time travel to retained versions keeps working;
         reads of expired versions raise FileNotFoundError. Without this,
         disk growth is unbounded at the 10^10-event design scale (every CoW
-        rewrite retains the superseded base files)."""
+        rewrite retains the superseded base files).
+
+        ``older_than`` (epoch seconds) adds Iceberg's time-based retention:
+        only versions whose ``committed_at`` precedes the cutoff expire, and
+        ``keep_last`` still applies as a FLOOR (never fewer than keep_last
+        retained, matching Iceberg's retain_last). Commit times are taken as
+        monotone (commits are serialized through the manifest CAS); expiry
+        stops at the first version at-or-after the cutoff so a skewed clock
+        can only under-expire, never punch a hole in the retained history."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = self._versions()
         retained, expired = versions[-keep_last:], versions[:-keep_last]
+        if older_than is not None:
+            aged = []
+            for v in expired:
+                if self.manifest(v).get("committed_at", 0.0) < older_than:
+                    aged.append(v)
+                else:
+                    break  # monotone commit times: nothing newer expires
+            retained = [v for v in versions if v not in set(aged)]
+            expired = aged
         if not expired:
             return {"expired_versions": [], "files_removed": 0}
         keep_paths = set()

@@ -12,7 +12,7 @@ Verbs:
     compact [--target-files N] [--cluster-by a,b]   bin-pack / (z-)cluster
     rebucket --num-buckets N       bucket-layout evolution
     restore --version V            metadata-only rollback
-    expire [--keep-last N]         expire_snapshots
+    expire [--keep-last N] [--max-age-sec S]   expire_snapshots
     vacuum [--older-than-sec S]    remove orphaned files
     delete-where --where SQL       row-level DELETE
     update-where --where SQL --set col=expr[,col=expr]   row-level UPDATE
@@ -28,6 +28,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 
 
 def _parse_set(spec: str) -> dict:
@@ -85,6 +86,9 @@ def run(spark, argv) -> int:
     rs.add_argument("--version", type=int, required=True)
     e = p("expire")
     e.add_argument("--keep-last", type=int, default=2)
+    e.add_argument("--max-age-sec", type=float, default=None,
+                   help="also require committed_at older than now - N sec "
+                   "(keep-last stays a floor)")
     v = p("vacuum")
     v.add_argument("--older-than-sec", type=float, default=3600.0)
     d = p("delete-where")
@@ -117,7 +121,13 @@ def run(spark, argv) -> int:
     elif args.verb == "restore":
         print(json.dumps(t.restore(args.version)))
     elif args.verb == "expire":
-        print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
+        cutoff = (
+            time.time() - args.max_age_sec
+            if args.max_age_sec is not None else None
+        )
+        print(json.dumps(t.expire_snapshots(
+            keep_last=args.keep_last, older_than=cutoff
+        )))
     elif args.verb == "vacuum":
         print(json.dumps(t.remove_orphans(older_than_sec=args.older_than_sec)))
     elif args.verb == "delete-where":

@@ -315,3 +315,42 @@ def test_lookup_prunes_to_key_buckets(spark, tmp_path):
     touched = {p.removeprefix("file://") for p in df.inputFiles()}
     assert touched and touched <= allowed
     assert len(touched) < len(t.manifest()["files"])
+
+
+def test_expire_snapshots_time_based(spark, tmp_path):
+    """older_than expires only versions committed before the cutoff;
+    keep_last stays a FLOOR regardless of age (Iceberg retain_last)."""
+    import json as _json
+
+    t = make_table(spark, tmp_path / "t", buckets=2)
+    for e in range(5):
+        t.merge(
+            delta(spark, [(f"k{i}", [e], 1, "s", False) for i in range(8)]),
+            epoch=e,
+            delete_col="is_del",
+        )
+    versions = t._versions()
+    # space the commit clocks 100 s apart so cutoffs land between commits
+    for i, v in enumerate(versions):
+        p = os.path.join(t.log_dir, f"v{v:08d}.json")
+        man = _json.loads(open(p).read())
+        man["committed_at"] = 1000.0 + 100.0 * i
+        open(p, "w").write(_json.dumps(man))
+
+    # cutoff between versions[1] and [2]: only the two oldest expire,
+    # even though keep_last=1 would allow more
+    res = t.expire_snapshots(keep_last=1, older_than=1000.0 + 150.0)
+    assert res["expired_versions"] == versions[:2]
+    assert t._versions() == versions[2:]
+
+    # a cutoff in the far future expires by AGE everything above the
+    # keep_last floor — never the floor itself
+    res = t.expire_snapshots(keep_last=2, older_than=10_000_000.0)
+    assert t._versions() == versions[-2:]
+    assert res["expired_versions"] == versions[2:-2]
+
+    # current state survives and the table keeps working
+    assert t.read().count() == 8
+    t.merge(delta(spark, [("k0", [9], 1, "s", False)]), epoch=9,
+            delete_col="is_del")
+    assert t.read().filter("doc_id = 'k0'").first()["tokens"] == [9]

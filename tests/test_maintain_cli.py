@@ -75,7 +75,14 @@ def test_dml_verbs(spark, table):
 def test_expire_and_vacuum(spark, table):
     t, path = table
     t.compact()
-    (e,) = _run(spark, "expire", "--table", path, "--keep-last", "1")
+    # everything is seconds old: a 1-hour age gate expires nothing even
+    # with keep-last 1 ...
+    (e,) = _run(spark, "expire", "--table", path, "--keep-last", "1",
+                "--max-age-sec", "3600")
+    assert e["expired_versions"] == []
+    # ... and a zero age gate behaves like plain keep-last
+    (e,) = _run(spark, "expire", "--table", path, "--keep-last", "1",
+                "--max-age-sec", "0")
     assert e["expired_versions"]
     (v,) = _run(spark, "vacuum", "--table", path, "--older-than-sec", "0")
     assert "files_removed" in v
