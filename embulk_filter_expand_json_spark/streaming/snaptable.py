@@ -76,6 +76,7 @@ from __future__ import annotations
 import json
 import os
 import posixpath
+import re
 import time
 import uuid
 from typing import List, Optional
@@ -254,6 +255,72 @@ class SnapTable:
             f"no retained snapshot committed at or before ts={ts}"
         )
 
+    # ----------------------------------------------------------------- tags
+    @property
+    def refs_dir(self) -> str:
+        return posixpath.join(self.log_dir, "refs")
+
+    def create_tag(self, name: str, version: Optional[int] = None) -> dict:
+        """Iceberg-style snapshot TAG: a named, immutable ref to a retained
+        version. Tagged versions are protected from ``expire_snapshots``
+        (any retention policy), so a tag is the durable handle for
+        reproducibility pins — "the corpus snapshot run X trained on" —
+        while ordinary retention keeps reclaiming everything else.
+
+        One file per tag under ``_log/refs/`` published create-exclusively
+        (the same primitive as manifest commits), so racing creators of the
+        same tag lose loudly; tags are immutable — re-pointing is
+        drop + create, two deliberate steps."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name or ""):
+            raise ValueError(
+                f"invalid tag name {name!r} (letters/digits/._- only)"
+            )
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"SnapTable at {self.path} does not exist")
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise FileNotFoundError(
+                f"version {v} not in snapshot log (have "
+                f"{versions[0]}..{versions[-1]})"
+            )
+        ref = {
+            "name": name,
+            "version": v,
+            "created_at": time.time(),
+            "commit_uuid": uuid.uuid4().hex,
+        }
+        try:
+            self.fs.publish_atomic(
+                json.dumps(ref), posixpath.join(self.refs_dir, f"{name}.json")
+            )
+        except PublishConflict:
+            raise CommitConflict(f"tag {name!r} already exists")
+        return ref
+
+    def drop_tag(self, name: str) -> None:
+        path = posixpath.join(self.refs_dir, f"{name}.json")
+        if not self.fs.isfile(path):
+            raise FileNotFoundError(f"no tag {name!r}")
+        self.fs.delete(path)
+
+    def tags(self) -> dict:
+        """name -> pinned version, for every tag on the table."""
+        out = {}
+        for n in self.fs.list_names(self.refs_dir):
+            if n.endswith(".json"):
+                ref = json.loads(
+                    self.fs.read_text(posixpath.join(self.refs_dir, n))
+                )
+                out[ref["name"]] = ref["version"]
+        return out
+
+    def tag_version(self, name: str) -> int:
+        path = posixpath.join(self.refs_dir, f"{name}.json")
+        if not self.fs.isfile(path):
+            raise FileNotFoundError(f"no tag {name!r}")
+        return json.loads(self.fs.read_text(path))["version"]
+
     def history(self) -> List[dict]:
         """Commit log of retained snapshots, oldest first — the DESCRIBE
         HISTORY analog: version, wall-clock commit time, operation summary
@@ -334,7 +401,10 @@ class SnapTable:
         }
 
     def read(
-        self, version: Optional[int] = None, as_of_ts: Optional[float] = None
+        self,
+        version: Optional[int] = None,
+        as_of_ts: Optional[float] = None,
+        tag: Optional[str] = None,
     ) -> DataFrame:
         """Current state, or time-travel to any retained snapshot version
         (``version=``) or wall-clock instant (``as_of_ts=`` epoch seconds,
@@ -355,10 +425,12 @@ class SnapTable:
         the trickle regime; read amplification stays bounded because
         merge() force-compacts any bucket whose stack exceeds
         ``max_delta_files_per_bucket``."""
+        if sum(x is not None for x in (version, as_of_ts, tag)) > 1:
+            raise ValueError("pass at most one of version=, as_of_ts=, tag=")
         if as_of_ts is not None:
-            if version is not None:
-                raise ValueError("pass version= or as_of_ts=, not both")
             version = self.version_as_of(as_of_ts)
+        if tag is not None:
+            version = self.tag_version(tag)
         man = self.manifest(version)
         schema = T.StructType.fromJson(man["schema"])
         return self._state_df(man, schema)
@@ -1990,11 +2062,14 @@ class SnapTable:
         retained, matching Iceberg's retain_last). Commit times are taken as
         monotone (commits are serialized through the manifest CAS); expiry
         stops at the first version at-or-after the cutoff so a skewed clock
-        can only under-expire, never punch a hole in the retained history."""
+        can only under-expire, never punch a hole in the retained history.
+
+        Tagged versions (``create_tag``) are always retained, whatever the
+        policy says — Iceberg's ref-retention rule."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = self._versions()
-        retained, expired = versions[-keep_last:], versions[:-keep_last]
+        expired = versions[:-keep_last]
         if older_than is not None:
             aged = []
             for v in expired:
@@ -2002,8 +2077,12 @@ class SnapTable:
                     aged.append(v)
                 else:
                     break  # monotone commit times: nothing newer expires
-            retained = [v for v in versions if v not in set(aged)]
             expired = aged
+        # tagged versions never expire (Iceberg ref retention): a tag is
+        # the durable reproducibility pin, orthogonal to keep_last/age
+        protected = set(self.tags().values())
+        expired = [v for v in expired if v not in protected]
+        retained = [v for v in versions if v not in set(expired)]
         if not expired:
             return {"expired_versions": [], "files_removed": 0}
         keep_paths = set()

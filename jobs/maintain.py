@@ -12,6 +12,9 @@ Verbs:
     compact [--target-files N] [--cluster-by a,b]   bin-pack / (z-)cluster
     rebucket --num-buckets N       bucket-layout evolution
     restore --version V            metadata-only rollback
+    tag --name N [--version V]     pin a snapshot (protected from expire)
+    drop-tag --name N              remove a tag
+    tags                           list tags (name -> version)
     expire [--keep-last N] [--max-age-sec S]   expire_snapshots
     vacuum [--older-than-sec S]    remove orphaned files
     delete-where --where SQL       row-level DELETE
@@ -84,6 +87,12 @@ def run(spark, argv) -> int:
     r.add_argument("--num-buckets", type=int, required=True)
     rs = p("restore")
     rs.add_argument("--version", type=int, required=True)
+    tg = p("tag")
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--version", type=int, default=None)
+    dt = p("drop-tag")
+    dt.add_argument("--name", required=True)
+    p("tags")
     e = p("expire")
     e.add_argument("--keep-last", type=int, default=2)
     e.add_argument("--max-age-sec", type=float, default=None,
@@ -120,6 +129,13 @@ def run(spark, argv) -> int:
         print(json.dumps(t.rebucket(args.num_buckets)))
     elif args.verb == "restore":
         print(json.dumps(t.restore(args.version)))
+    elif args.verb == "tag":
+        print(json.dumps(t.create_tag(args.name, version=args.version)))
+    elif args.verb == "drop-tag":
+        t.drop_tag(args.name)
+        print(json.dumps({"dropped": args.name}))
+    elif args.verb == "tags":
+        print(json.dumps(t.tags()))
     elif args.verb == "expire":
         cutoff = (
             time.time() - args.max_age_sec

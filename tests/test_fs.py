@@ -160,12 +160,18 @@ def test_snaptable_lifecycle_parity_on_arrowfs(spark, tmp_path):
         == 2
     )
 
-    # maintenance through the object-store path
+    # maintenance through the object-store path — tag an early version so
+    # expire has to honor the ref-retention rule via ArrowFS primitives too
+    pinned = arrow_t._versions()[1]
+    arrow_t.create_tag("pin", version=pinned)
     c = arrow_t.compact()
     assert c["compacted"]
     assert rows_key(arrow_t.read()) == rows_key(posix_t.read())
     ex = arrow_t.expire_snapshots(keep_last=2)
     assert ex["expired_versions"]
+    assert pinned in arrow_t._versions()
+    assert arrow_t.read(tag="pin").count() == 2
+    arrow_t.drop_tag("pin")
     assert rows_key(arrow_t.read()) == rows_key(posix_t.read())
     arrow_t.remove_orphans(older_than_sec=0.0)
     assert rows_key(arrow_t.read()) == rows_key(posix_t.read())

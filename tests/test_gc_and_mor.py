@@ -354,3 +354,61 @@ def test_expire_snapshots_time_based(spark, tmp_path):
     t.merge(delta(spark, [("k0", [9], 1, "s", False)]), epoch=9,
             delete_col="is_del")
     assert t.read().filter("doc_id = 'k0'").first()["tokens"] == [9]
+
+
+def test_tags_pin_and_protect_snapshots(spark, tmp_path):
+    """Iceberg-style tags: read(tag=) time travel, expire never reclaims a
+    tagged version (any policy), tags are create-exclusive and immutable,
+    drop releases the pin."""
+    import json as _json
+
+    import pytest as _pytest
+    from embulk_filter_expand_json_spark.streaming.snaptable import (
+        CommitConflict,
+    )
+
+    t = make_table(spark, tmp_path / "t", buckets=2)
+    for e in range(4):
+        t.merge(
+            delta(spark, [(f"k{i}", [e], 1, "s", False) for i in range(8)]),
+            epoch=e,
+            delete_col="is_del",
+        )
+    versions = t._versions()
+    pinned = versions[1]  # an OLD version, first in line to expire
+    ref = t.create_tag("train-v1", version=pinned)
+    assert ref["version"] == pinned
+    assert t.tags() == {"train-v1": pinned}
+
+    # immutable + create-exclusive
+    with _pytest.raises(CommitConflict):
+        t.create_tag("train-v1", version=versions[-1])
+    with _pytest.raises(ValueError):
+        t.create_tag("bad name!")
+    with _pytest.raises(FileNotFoundError):
+        t.create_tag("v99", version=9999)
+
+    # the harshest retention keeps the tagged version alive and readable
+    res = t.expire_snapshots(keep_last=1)
+    assert pinned not in res["expired_versions"]
+    assert pinned in t._versions()
+    assert t.read(tag="train-v1").count() == 8
+    assert sorted(
+        r["tokens"] for r in t.read(tag="train-v1").collect()
+    ) == [[0]] * 8  # versions[1] = the epoch-0 merge (versions[0]: create)
+    # time-based expiry protects it too
+    t.expire_snapshots(keep_last=1, older_than=10_000_000_000.0)
+    assert pinned in t._versions()
+
+    # exclusivity of the read() selectors
+    with _pytest.raises(ValueError):
+        t.read(version=pinned, tag="train-v1")
+
+    # drop releases the pin; the next expire reclaims it
+    t.drop_tag("train-v1")
+    with _pytest.raises(FileNotFoundError):
+        t.drop_tag("train-v1")
+    res = t.expire_snapshots(keep_last=1)
+    assert pinned in res["expired_versions"]
+    with _pytest.raises(FileNotFoundError):
+        t.read(version=pinned)

@@ -88,6 +88,19 @@ def test_expire_and_vacuum(spark, table):
     assert "files_removed" in v
 
 
+def test_tag_verbs(spark, table):
+    t, path = table
+    v = t.manifest()["version"]
+    (ref,) = _run(spark, "tag", "--table", path, "--name", "rel-1")
+    assert ref["version"] == v
+    (listing,) = _run(spark, "tags", "--table", path)
+    assert listing == {"rel-1": v}
+    (d,) = _run(spark, "drop-tag", "--table", path, "--name", "rel-1")
+    assert d == {"dropped": "rel-1"}
+    (listing,) = _run(spark, "tags", "--table", path)
+    assert listing == {}
+
+
 def test_parse_set_respects_nesting():
     out = maintain._parse_set("a=concat(x, ','),b=f(g(1,2),3)")
     assert out == {"a": "concat(x, ',')", "b": "f(g(1,2),3)"}
