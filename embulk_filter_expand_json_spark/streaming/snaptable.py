@@ -398,6 +398,7 @@ class SnapTable:
             "changes_valid_from": man.get("changes_valid_from"),
             "properties": man.get("properties", {}),
             "committed_at": man.get("committed_at"),
+            "tags": self.tags(),
         }
 
     def read(

@@ -77,6 +77,9 @@ def test_describe_detail(spark, table):
     assert "doc_id" in d["columns"]
     assert d["changelog_entries"] == 2
     assert d["properties"]["stats_columns"] == ["n_tok"]
+    assert d["tags"] == {}
+    t.create_tag("rel", version=d["version"])
+    assert t.describe_detail()["tags"] == {"rel": d["version"]}
 
 
 def test_rows_absent_without_stats_columns(spark, tmp_path):
