@@ -1986,7 +1986,12 @@ class SnapTable:
             f"rebucket lost {max_commit_retries + 1} commit races"
         )
 
-    def restore(self, version: int, max_commit_retries: int = 10) -> dict:
+    def restore(
+        self,
+        version: Optional[int] = None,
+        max_commit_retries: int = 10,
+        tag: Optional[str] = None,
+    ) -> dict:
         """Roll the table back to a retained snapshot (Delta ``RESTORE TABLE
         ... TO VERSION AS OF`` / Iceberg rollback parity) — metadata-only:
         a NEW manifest version is published whose logical state (files,
@@ -2008,8 +2013,13 @@ class SnapTable:
         bounds how far back restore reaches); its files are guaranteed
         alive because retained manifests pin their references, and after
         the restore the NEW manifest pins them even once the target
-        version itself expires.
+        version itself expires. ``tag=`` restores to a tagged snapshot
+        (the "roll back to the blessed corpus" move).
         """
+        if (version is None) == (tag is None):
+            raise ValueError("pass exactly one of version= or tag=")
+        if tag is not None:
+            version = self.tag_version(tag)
         if version > self.manifest()["version"]:
             raise ValueError(
                 f"cannot restore to version {version}: table is at "
@@ -2048,7 +2058,10 @@ class SnapTable:
         )
 
     def expire_snapshots(
-        self, keep_last: int = 2, older_than: Optional[float] = None
+        self,
+        keep_last: int = 2,
+        older_than: Optional[float] = None,
+        dry_run: bool = False,
     ) -> dict:
         """Iceberg ``expire_snapshots``: drop manifest versions older than
         the newest ``keep_last`` and delete every data file referenced ONLY
@@ -2066,7 +2079,10 @@ class SnapTable:
         can only under-expire, never punch a hole in the retained history.
 
         Tagged versions (``create_tag``) are always retained, whatever the
-        policy says — Iceberg's ref-retention rule."""
+        policy says — Iceberg's ref-retention rule. ``dry_run=True``
+        reports what WOULD expire (versions + file count) without touching
+        anything — the ops preview every retention change should start
+        with."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = self._versions()
@@ -2096,15 +2112,24 @@ class SnapTable:
                     continue
                 full = self._mpath(p)
                 if self.fs.isfile(full):
-                    self.fs.delete(full)
+                    if not dry_run:
+                        self.fs.delete(full)
                     removed += 1
                 keep_paths.add(p)  # shared across expired versions
+        if dry_run:
+            return {
+                "expired_versions": expired,
+                "files_removed": removed,
+                "dry_run": True,
+            }
         for v in expired:
             self.fs.delete(posixpath.join(self.log_dir, f"v{v:08d}.json"))
         self._prune_empty_dirs()
         return {"expired_versions": expired, "files_removed": removed}
 
-    def remove_orphans(self, older_than_sec: float = 3600.0) -> dict:
+    def remove_orphans(
+        self, older_than_sec: float = 3600.0, dry_run: bool = False
+    ) -> dict:
         """Delete data files not referenced by ANY retained snapshot — the
         debris of aborted commits (pre_commit=False / crash between write
         and publish leaves staged files unreferenced by design). The mtime
@@ -2128,8 +2153,11 @@ class SnapTable:
                 continue
             if mtime > cutoff:
                 continue
-            self.fs.delete(self._mpath(rel))
+            if not dry_run:
+                self.fs.delete(self._mpath(rel))
             removed += 1
+        if dry_run:
+            return {"files_removed": removed, "dry_run": True}
         self._prune_empty_dirs()
         return {"files_removed": removed}
 

@@ -86,7 +86,8 @@ def run(spark, argv) -> int:
     r = p("rebucket")
     r.add_argument("--num-buckets", type=int, required=True)
     rs = p("restore")
-    rs.add_argument("--version", type=int, required=True)
+    rs.add_argument("--version", type=int, default=None)
+    rs.add_argument("--tag", default=None)
     tg = p("tag")
     tg.add_argument("--name", required=True)
     tg.add_argument("--version", type=int, default=None)
@@ -98,8 +99,10 @@ def run(spark, argv) -> int:
     e.add_argument("--max-age-sec", type=float, default=None,
                    help="also require committed_at older than now - N sec "
                    "(keep-last stays a floor)")
+    e.add_argument("--dry-run", action="store_true")
     v = p("vacuum")
     v.add_argument("--older-than-sec", type=float, default=3600.0)
+    v.add_argument("--dry-run", action="store_true")
     d = p("delete-where")
     d.add_argument("--where", required=True)
     u = p("update-where")
@@ -128,7 +131,7 @@ def run(spark, argv) -> int:
     elif args.verb == "rebucket":
         print(json.dumps(t.rebucket(args.num_buckets)))
     elif args.verb == "restore":
-        print(json.dumps(t.restore(args.version)))
+        print(json.dumps(t.restore(version=args.version, tag=args.tag)))
     elif args.verb == "tag":
         print(json.dumps(t.create_tag(args.name, version=args.version)))
     elif args.verb == "drop-tag":
@@ -142,10 +145,13 @@ def run(spark, argv) -> int:
             if args.max_age_sec is not None else None
         )
         print(json.dumps(t.expire_snapshots(
-            keep_last=args.keep_last, older_than=cutoff
+            keep_last=args.keep_last, older_than=cutoff,
+            dry_run=args.dry_run,
         )))
     elif args.verb == "vacuum":
-        print(json.dumps(t.remove_orphans(older_than_sec=args.older_than_sec)))
+        print(json.dumps(t.remove_orphans(
+            older_than_sec=args.older_than_sec, dry_run=args.dry_run
+        )))
     elif args.verb == "delete-where":
         print(json.dumps(t.delete_where(args.where)))
     elif args.verb == "update-where":

@@ -412,3 +412,56 @@ def test_tags_pin_and_protect_snapshots(spark, tmp_path):
     assert pinned in res["expired_versions"]
     with _pytest.raises(FileNotFoundError):
         t.read(version=pinned)
+
+
+def test_gc_dry_run_and_restore_by_tag(spark, tmp_path):
+    """dry_run previews the exact expire/vacuum outcome without deleting;
+    restore(tag=) rolls back to a tagged snapshot."""
+    import pytest as _pytest
+
+    t = make_table(spark, tmp_path / "t", buckets=2)
+    for e in range(4):
+        t.merge(
+            delta(spark, [(f"k{i}", [e], 1, "s", False) for i in range(8)]),
+            epoch=e,
+            delete_col="is_del",
+        )
+    # an aborted commit leaves orphans for vacuum to find
+    t.merge(delta(spark, [("k0", [99], 1, "s", False)]), epoch=9,
+            delete_col="is_del", pre_commit=lambda: False)
+
+    n_before = len(data_files_on_disk(t))
+    versions_before = t._versions()
+
+    prev = t.expire_snapshots(keep_last=2, dry_run=True)
+    assert prev["dry_run"] and prev["expired_versions"]
+    assert len(data_files_on_disk(t)) == n_before
+    assert t._versions() == versions_before
+
+    vprev = t.remove_orphans(older_than_sec=0.0, dry_run=True)
+    assert vprev["dry_run"] and vprev["files_removed"] > 0
+    assert len(data_files_on_disk(t)) == n_before
+
+    # the real runs remove exactly what the previews reported
+    real = t.expire_snapshots(keep_last=2)
+    assert real["expired_versions"] == prev["expired_versions"]
+    assert real["files_removed"] == prev["files_removed"]
+    vreal = t.remove_orphans(older_than_sec=0.0)
+    assert vreal["files_removed"] == vprev["files_removed"]
+
+    # restore by tag
+    t.create_tag("good", version=t._versions()[-2])
+    state_at_tag = sorted(
+        (r["doc_id"], r["tokens"]) for r in t.read(tag="good").collect()
+    )
+    t.merge(delta(spark, [("k0", [None], 1, "s", True)]), epoch=10,
+            delete_col="is_del")
+    r = t.restore(tag="good")
+    assert r["restored_to"] == t.tag_version("good")
+    assert sorted(
+        (x["doc_id"], x["tokens"]) for x in t.read().collect()
+    ) == state_at_tag
+    with _pytest.raises(ValueError):
+        t.restore()
+    with _pytest.raises(ValueError):
+        t.restore(version=1, tag="good")
