@@ -271,6 +271,7 @@ class SnapTable:
         (the same primitive as manifest commits), so racing creators of the
         same tag lose loudly; tags are immutable — re-pointing is
         drop + create, two deliberate steps."""
+        self._require_main("create_tag")
         if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name or ""):
             raise ValueError(
                 f"invalid tag name {name!r} (letters/digits/._- only)"
@@ -320,6 +321,165 @@ class SnapTable:
         if not self.fs.isfile(path):
             raise FileNotFoundError(f"no tag {name!r}")
         return json.loads(self.fs.read_text(path))["version"]
+
+    # -------------------------------------------------------------- branches
+    @property
+    def branches_dir(self) -> str:
+        return posixpath.join(self.log_dir, "branches")
+
+    @property
+    def is_branch(self) -> bool:
+        return getattr(self, "_branch_name", None) is not None
+
+    def _require_main(self, op: str) -> None:
+        if self.is_branch:
+            raise RuntimeError(
+                f"{op} is a main-table operation; run it on the main "
+                f"handle, not branch {self._branch_name!r}"
+            )
+
+    def create_branch(self, name: str) -> "SnapTable":
+        """Iceberg-style BRANCH for write-audit-publish: an isolated commit
+        chain seeded from the current head. Writes on the returned handle
+        (merge / merge_into / DML / compact — the full machinery) publish
+        manifests under ``_log/branches/<name>/`` and stage data files in
+        the SHARED data tree, so main readers never see them until
+        ``fast_forward`` republishes the branch commits onto main —
+        metadata-only, atomic per commit, feed-continuous (the manifests
+        land verbatim, change entries included).
+
+        The seed is a VERBATIM copy of the head manifest (same version
+        number, same commit_uuid) — that uuid equality is what
+        ``fast_forward`` later uses to prove main never diverged. Branch
+        metadata lives next to the chain in ``BRANCH.json``."""
+        self._require_main("create_branch")
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name or ""):
+            raise ValueError(
+                f"invalid branch name {name!r} (letters/digits/._- only)"
+            )
+        head = self.manifest()
+        bdir = posixpath.join(self.branches_dir, name)
+        try:
+            self.fs.publish_atomic(
+                json.dumps(
+                    {
+                        "name": name,
+                        "forked_from": head["version"],
+                        "created_at": time.time(),
+                    }
+                ),
+                posixpath.join(bdir, "BRANCH.json"),
+            )
+        except PublishConflict:
+            raise CommitConflict(f"branch {name!r} already exists")
+        self.fs.publish_atomic(
+            json.dumps(head),
+            posixpath.join(bdir, f"v{head['version']:08d}.json"),
+        )
+        return self.branch(name)
+
+    def branch(self, name: str) -> "SnapTable":
+        """Handle on an existing branch: a SnapTable whose manifest log is
+        the branch chain. Data dirs are shared with main; GC / restore /
+        tags stay main-only (they reason over the whole file tree)."""
+        self._require_main("branch")
+        bdir = posixpath.join(self.branches_dir, name)
+        if not self.fs.isfile(posixpath.join(bdir, "BRANCH.json")):
+            raise FileNotFoundError(f"no branch {name!r}")
+        b = SnapTable(self.spark, self.path, fs=self.fs)
+        b._meta_root = self._meta_root
+        b.meta_data_dir = self.meta_data_dir
+        b.log_dir = bdir
+        b._branch_name = name
+        b._main_log_dir = self.log_dir
+        return b
+
+    def branches(self) -> List[str]:
+        out = []
+        for n in self.fs.list_names(self.branches_dir):
+            meta = posixpath.join(self.branches_dir, n, "BRANCH.json")
+            if self.fs.isfile(meta):
+                out.append(n)
+        return sorted(out)
+
+    def drop_branch(self, name: str) -> None:
+        """Delete the branch chain (metadata only). Data files staged for
+        branch-only commits become unreferenced; the next ``remove_orphans``
+        reclaims them."""
+        self._require_main("drop_branch")
+        bdir = posixpath.join(self.branches_dir, name)
+        if not self.fs.isfile(posixpath.join(bdir, "BRANCH.json")):
+            raise FileNotFoundError(f"no branch {name!r}")
+        for n in self.fs.list_names(bdir):
+            self.fs.delete(posixpath.join(bdir, n))
+        self.fs.prune_empty_dirs(bdir, stop=self.branches_dir)
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch's commits onto main — Iceberg
+        ``fast_forward('main', branch)``. Requires main's head to be an
+        ANCESTOR of the branch head (same version present in the branch
+        chain with the same commit_uuid); anything else is divergence and
+        raises CommitConflict — the WAP contract is audit-then-publish,
+        re-audit after a conflict.
+
+        Each manifest is republished verbatim with the create-exclusive
+        primitive, ascending: readers always see a linear, valid log, and
+        a lost race mid-way leaves a consistent prefix (every branch
+        commit was itself a valid table state). The branch stays usable
+        (its chain is untouched); drop it when the audit cycle is done."""
+        self._require_main("fast_forward")
+        b = self.branch(name)
+        bversions = b._versions()
+        mhead = self._versions()[-1]
+        if mhead not in bversions or (
+            b.manifest(mhead)["commit_uuid"]
+            != self.manifest(mhead)["commit_uuid"]
+        ):
+            raise CommitConflict(
+                f"main (head v{mhead}) is not an ancestor of branch "
+                f"{name!r} ({bversions[0]}..{bversions[-1]}): diverged — "
+                "re-branch from the current head and re-audit"
+            )
+        published = []
+        for v in [v for v in bversions if v > mhead]:
+            try:
+                self.fs.publish_atomic(
+                    self.fs.read_text(
+                        posixpath.join(b.log_dir, f"v{v:08d}.json")
+                    ),
+                    posixpath.join(self.log_dir, f"v{v:08d}.json"),
+                )
+            except PublishConflict:
+                raise CommitConflict(
+                    f"lost a race fast-forwarding {name!r} at v{v}; "
+                    f"published prefix {published} is consistent — "
+                    "re-audit against the new head"
+                )
+            published.append(v)
+        return {"fast_forwarded": name, "published_versions": published}
+
+    def _branch_manifests(self) -> List[dict]:
+        """Every manifest on every branch — GC must treat their file
+        references as live (a branch pins shared data files exactly like a
+        retained main snapshot)."""
+        root = (
+            self.branches_dir
+            if not self.is_branch
+            else posixpath.join(self._main_log_dir, "branches")
+        )
+        out = []
+        for n in self.fs.list_names(root):
+            bdir = posixpath.join(root, n)
+            if not self.fs.isfile(posixpath.join(bdir, "BRANCH.json")):
+                continue
+            for f in self.fs.list_names(bdir):
+                if f.startswith("v") and f.endswith(".json"):
+                    out.append(
+                        json.loads(
+                            self.fs.read_text(posixpath.join(bdir, f))
+                        )
+                    )
+        return out
 
     def history(self) -> List[dict]:
         """Commit log of retained snapshots, oldest first — the DESCRIBE
@@ -2016,6 +2176,7 @@ class SnapTable:
         version itself expires. ``tag=`` restores to a tagged snapshot
         (the "roll back to the blessed corpus" move).
         """
+        self._require_main("restore")
         if (version is None) == (tag is None):
             raise ValueError("pass exactly one of version= or tag=")
         if tag is not None:
@@ -2082,7 +2243,10 @@ class SnapTable:
         policy says — Iceberg's ref-retention rule. ``dry_run=True``
         reports what WOULD expire (versions + file count) without touching
         anything — the ops preview every retention change should start
-        with."""
+        with. Files referenced by any BRANCH manifest are likewise never
+        deleted (a branch pins shared data exactly like a retained
+        snapshot)."""
+        self._require_main("expire_snapshots")
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = self._versions()
@@ -2105,6 +2269,8 @@ class SnapTable:
         keep_paths = set()
         for v in retained:
             keep_paths.update(self._referenced_paths(self.manifest(v)))
+        for bman in self._branch_manifests():
+            keep_paths.update(self._referenced_paths(bman))
         removed = 0
         for v in expired:
             for p in self._referenced_paths(self.manifest(v)):
@@ -2141,9 +2307,12 @@ class SnapTable:
         either crashed or already resolved its race and self-cleaned."""
         import time as _time
 
+        self._require_main("remove_orphans")
         referenced = set()
         for v in self._versions():
             referenced.update(self._referenced_paths(self.manifest(v)))
+        for bman in self._branch_manifests():
+            referenced.update(self._referenced_paths(bman))
         cutoff = _time.time() - older_than_sec
         removed = 0
         # one recursive stat-listing of the data tree (mtimes ride along)

@@ -15,6 +15,10 @@ Verbs:
     tag --name N [--version V]     pin a snapshot (protected from expire)
     drop-tag --name N              remove a tag
     tags                           list tags (name -> version)
+    create-branch --name N         fork a WAP branch from the head
+    drop-branch --name N           delete a branch chain
+    branches                       list branches
+    fast-forward --name N          publish a branch's commits onto main
     expire [--keep-last N] [--max-age-sec S]   expire_snapshots
     vacuum [--older-than-sec S]    remove orphaned files
     delete-where --where SQL       row-level DELETE
@@ -88,6 +92,13 @@ def run(spark, argv) -> int:
     rs = p("restore")
     rs.add_argument("--version", type=int, default=None)
     rs.add_argument("--tag", default=None)
+    bc = p("create-branch")
+    bc.add_argument("--name", required=True)
+    bd = p("drop-branch")
+    bd.add_argument("--name", required=True)
+    p("branches")
+    ff = p("fast-forward")
+    ff.add_argument("--name", required=True)
     tg = p("tag")
     tg.add_argument("--name", required=True)
     tg.add_argument("--version", type=int, default=None)
@@ -132,6 +143,16 @@ def run(spark, argv) -> int:
         print(json.dumps(t.rebucket(args.num_buckets)))
     elif args.verb == "restore":
         print(json.dumps(t.restore(version=args.version, tag=args.tag)))
+    elif args.verb == "create-branch":
+        t.create_branch(args.name)
+        print(json.dumps({"created": args.name}))
+    elif args.verb == "drop-branch":
+        t.drop_branch(args.name)
+        print(json.dumps({"dropped": args.name}))
+    elif args.verb == "branches":
+        print(json.dumps(t.branches()))
+    elif args.verb == "fast-forward":
+        print(json.dumps(t.fast_forward(args.name)))
     elif args.verb == "tag":
         print(json.dumps(t.create_tag(args.name, version=args.version)))
     elif args.verb == "drop-tag":

@@ -104,3 +104,18 @@ def test_tag_verbs(spark, table):
 def test_parse_set_respects_nesting():
     out = maintain._parse_set("a=concat(x, ','),b=f(g(1,2),3)")
     assert out == {"a": "concat(x, ',')", "b": "f(g(1,2),3)"}
+
+
+def test_branch_verbs(spark, table):
+    t, path = table
+    (c,) = _run(spark, "create-branch", "--table", path, "--name", "audit")
+    assert c == {"created": "audit"}
+    (ls,) = _run(spark, "branches", "--table", path)
+    assert ls == ["audit"]
+    # nothing staged on the branch yet: fast-forward is an empty publish
+    (ff,) = _run(spark, "fast-forward", "--table", path, "--name", "audit")
+    assert ff["published_versions"] == []
+    (d,) = _run(spark, "drop-branch", "--table", path, "--name", "audit")
+    assert d == {"dropped": "audit"}
+    (ls,) = _run(spark, "branches", "--table", path)
+    assert ls == []
