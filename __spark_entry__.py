@@ -677,6 +677,69 @@ def _dml_oracle_sql(log_path: str) -> str:
     """
 
 
+_WAP_ORACLE_LOG = f"{_ORACLE_TMP}/wap_log"
+
+
+def _cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish lifecycle (Iceberg branch + fast_forward
+    parity), hard-verified end to end: the replay pipeline runs to
+    completion on MAIN, then the same UPDATE-then-DELETE algebra as
+    cdc_dml_state is staged on a BRANCH — main is asserted byte-unchanged
+    while the branch carries the edit (the audit step) — and
+    ``fast_forward`` republishes the branch commits onto main. The final
+    main state must hash-equal the oracle that applies the DML directly:
+    the branch detour is provably invisible in the result, which is the
+    WAP contract. Engine-side mechanics (isolation, divergence rejection,
+    GC pinning of branch files, feed continuity) are pinned by
+    tests/test_branches.py; this query puts the publish path itself in
+    the graded gate."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="wap_entry_")
+    shutil.rmtree(_WAP_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+        )
+        write_changes(spark, cfg, _WAP_ORACLE_LOG)
+        pipe = CdcPipeline(
+            spark,
+            _WAP_ORACLE_LOG,
+            os.path.join(work, "table"),
+            num_buckets=8,
+        )
+        pipe.run()
+        t = pipe.table
+        head = t.manifest()["version"]
+        pre_publish = t.read().select("doc_id", "n_tok", "source")
+
+        b = t.create_branch("audit")
+        b.update_where(
+            "source = 'src3'",
+            {"source": "concat('q-', source)", "n_tok": "n_tok + 1000"},
+        )
+        b.delete_where("source = 'q-src3' AND n_tok % 3 = 0")
+        # audit: main untouched while the branch carries both edits
+        assert t.manifest()["version"] == head, "branch write leaked to main"
+        assert pre_publish.count() == t.read().count()
+
+        r = t.fast_forward("audit")
+        assert len(r["published_versions"]) == 2, r
+        out = t.read().select("doc_id", "n_tok", "source")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _MI_ORACLE_LOG = f"{_ORACLE_TMP}/mi_log"
 
 
@@ -2391,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state": _cdc_replay_state,
         "cdc_changefeed": _cdc_changefeed,
         "cdc_dml_state": _cdc_dml_state,
+        "cdc_wap_publish": _cdc_wap_publish,
         "cdc_merge_into": _cdc_merge_into,
         "cdc_read_where": _cdc_read_where,
         "cdc_scd2_history": _cdc_scd2_history,
@@ -2569,6 +2633,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state": _replay_oracle_sql(_CDC_ORACLE_LOG),
         "cdc_changefeed": _changefeed_oracle_sql(_CDF_ORACLE_LOG),
         "cdc_dml_state": _dml_oracle_sql(_DML_ORACLE_LOG),
+        "cdc_wap_publish": _dml_oracle_sql(_WAP_ORACLE_LOG),
         "cdc_merge_into": _merge_into_oracle_sql(_MI_ORACLE_LOG),
         "cdc_read_where": _read_where_oracle_sql(_RW_ORACLE_LOG),
         "cdc_scd2_history": _scd2_oracle_sql(_SCD2_ORACLE_LOG),
