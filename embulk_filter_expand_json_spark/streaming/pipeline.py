@@ -36,7 +36,10 @@ from embulk_filter_expand_json_spark.plans.expand_plan import (
     ExpandConfig,
     ExpandedColumn,
 )
-from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
+from embulk_filter_expand_json_spark.streaming.snaptable import (
+    CommitConflict,
+    SnapTable,
+)
 
 #: the tokenized-sequence table (BASELINE.json input_hint, exact shape)
 SEQUENCES_SCHEMA = T.StructType(
@@ -532,3 +535,66 @@ class CdcPipeline:
         if max_epochs is not None:
             todo = todo[:max_epochs]
         return [self.apply_epoch(e) for e in todo]
+
+    def run_wap(
+        self,
+        audit,
+        branch: str = "wap-audit",
+        max_epochs: Optional[int] = None,
+    ) -> dict:
+        """Write-audit-publish replay (Iceberg's WAP pattern as a pipeline
+        mode): every uncommitted epoch is staged on a BRANCH, the ``audit``
+        callable runs against the branch table (row-count deltas, quality
+        gates, decontamination checks — anything readable), and only a
+        passing audit fast-forwards main. Main readers never see an
+        unaudited epoch; a failing audit costs a branch drop (staged files
+        go to the next orphan sweep) and main is byte-untouched.
+
+        ``audit(branch_table) -> bool``; an exception fails the audit and
+        propagates after the branch is dropped. A leftover branch of the
+        same name (a crashed prior run: staged but never audited) is
+        dropped and re-staged from the current head — recomputation is
+        safe because unpublished commits were never visible. Single WAP
+        runner per branch name, same as the engine's single-writer default
+        (racing writers resolve at publish via the create-exclusive
+        primitive).
+
+        Inline GC (``gc_keep_snapshots``) is suspended during staging (a
+        main-only operation) and runs once on main after a successful
+        publish. Quarantine commits (a side table) land during staging
+        regardless of the audit outcome — dead letters stay recorded, and
+        a re-stage skips them exactly-once."""
+        main = self.table
+        try:
+            b = main.create_branch(branch)
+        except CommitConflict:
+            main.drop_branch(branch)
+            b = main.create_branch(branch)
+        gc_keep, self.gc_keep_snapshots = self.gc_keep_snapshots, None
+        self.table = b
+        try:
+            try:
+                metrics = self.run(max_epochs=max_epochs)
+            finally:
+                self.table = main
+                self.gc_keep_snapshots = gc_keep
+            if not metrics:
+                main.drop_branch(branch)
+                return {"published": False, "epochs": [], "reason": "no new epochs"}
+            ok = bool(audit(b))
+        except BaseException:
+            main.drop_branch(branch)
+            raise
+        epochs = [m.epoch for m in metrics]
+        if not ok:
+            main.drop_branch(branch)
+            return {"published": False, "epochs": epochs, "reason": "audit failed"}
+        r = main.fast_forward(branch)
+        main.drop_branch(branch)
+        if self.gc_keep_snapshots:
+            main.expire_snapshots(keep_last=self.gc_keep_snapshots)
+        return {
+            "published": True,
+            "epochs": epochs,
+            "published_versions": r["published_versions"],
+        }
