@@ -55,6 +55,11 @@ SEQUENCES_SCHEMA = T.StructType(
 _BASE_KEYS = {"doc_id", "tokens", "n_tok", "source"}
 
 
+class ExpectationFailed(RuntimeError):
+    """A fail-action expectation found violating rows; the epoch was
+    aborted before publish and stays replayable after the producer fix."""
+
+
 @dataclass
 class EpochMetrics:
     epoch: int
@@ -64,6 +69,7 @@ class EpochMetrics:
     upserts: int = 0
     dedup_dropped: int = 0
     quarantined: int = 0
+    expectation_failures: dict = field(default_factory=dict)
     rebucketed_to: Optional[int] = None
     evolved_columns: List[str] = field(default_factory=list)
     buckets_touched: int = 0
@@ -99,6 +105,7 @@ class CdcPipeline:
         quarantine_path: Optional[str] = None,
         auto_rebucket_bytes: Optional[int] = None,
         stats_columns: Sequence[str] = (),
+        expectations: Sequence[tuple] = (),
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -141,6 +148,30 @@ class CdcPipeline:
         #: is manifest-metadata-only per epoch; the rewrite itself is a
         #: once-per-doubling maintenance job, amortized O(1) per row.
         self.auto_rebucket_bytes = auto_rebucket_bytes
+        #: data-quality EXPECTATIONS (Delta Live Tables parity), applied to
+        #: each epoch's LWW winners (deletes exempt — they carry no
+        #: payload): (name, sql_predicate, action) with action one of
+        #:   warn — count violations (metrics + lineage), keep the rows
+        #:   drop — count and EXCLUDE violating upserts from the merge
+        #:          (the bad update is rejected; the table keeps the row's
+        #:          prior state — the CDC reading of DLT's expect_or_drop)
+        #:   fail — abort the epoch BEFORE publish if any row violates
+        #:          (staged files reclaimed; the epoch stays replayable
+        #:          after the producer fix — DLT's expect_or_fail)
+        #: A NULL predicate is a violation (expectations assert truth).
+        #: Violation counts ride the epoch's single-pass observation — no
+        #: extra job on the observed path.
+        self.expectations = [tuple(e) for e in expectations]
+        seen = set()
+        for name, _pred, action in self.expectations:
+            if action not in ("warn", "drop", "fail"):
+                raise ValueError(
+                    f"expectation {name!r}: action must be "
+                    f"warn|drop|fail, got {action!r}"
+                )
+            if name in seen:
+                raise ValueError(f"duplicate expectation name {name!r}")
+            seen.add(name)
         # lineage log rides the same TableFS as the table's manifests, so
         # a URI table_path keeps the checkpoint next to the table. Object
         # stores can't append — TableFS.append_text read-modify-writes
@@ -455,6 +486,13 @@ class CdcPipeline:
         deduped = lww_dedup(
             typed, key=self.key, order=self.order, strategy=self.lww_strategy
         )
+        # expectation violation predicates over the LWW winners: deletes
+        # are exempt (no payload), NULL predicate = violation
+        viols = [
+            (F.col("op") != F.lit("D"))
+            & ~F.coalesce(F.expr(pred), F.lit(False))
+            for _name, pred, _action in self.expectations
+        ]
         if use_obs:
             obs_out = Observation()
             deduped = deduped.observe(
@@ -463,6 +501,11 @@ class CdcPipeline:
                 F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias(
                     "deletes"
                 ),
+                # violation counts ride the same single pass
+                *[
+                    F.sum(F.when(v, 1).otherwise(0)).alias(f"exp_{i}")
+                    for i, v in enumerate(viols)
+                ],
             )
         elif self.collect_metrics:
             # explicit metric aggregations (streaming path): a couple of
@@ -485,7 +528,45 @@ class CdcPipeline:
             m.invalid = m.rows_in - valid
             m.dedup_dropped = valid - (m.deletes + m.upserts)
 
+        if not use_obs and self.expectations:
+            # explicit path (streaming/foreachBatch): one small extra agg
+            counts = deduped.agg(
+                *[
+                    F.sum(F.when(v, 1).otherwise(0)).alias(f"exp_{i}")
+                    for i, v in enumerate(viols)
+                ]
+            ).collect()[0]
+            for i, (name, _pred, action) in enumerate(self.expectations):
+                n = counts[f"exp_{i}"] or 0
+                m.expectation_failures[name] = n
+                if action == "fail" and n > 0:
+                    raise ExpectationFailed(
+                        f"expectation {name!r} violated by {n} rows in "
+                        f"epoch {epoch}"
+                    )
+            if self.collect_metrics:
+                # merged-upsert metric reflects the post-drop count, same
+                # as the observed path
+                m.upserts -= sum(
+                    m.expectation_failures[name]
+                    for name, _p, a in self.expectations
+                    if a == "drop"
+                )
+        drop_viol = [
+            v
+            for v, (_n, _p, a) in zip(viols, self.expectations)
+            if a == "drop"
+        ]
+        if drop_viol:
+            keep = ~drop_viol[0]
+            for v in drop_viol[1:]:
+                keep = keep & ~v
+            # the observation sits upstream of this filter: counts see
+            # every winner, the merge sees only the surviving ones
+            deduped = deduped.filter(keep)
+
         drift_holder: List[str] = []
+        exp_fail_holder: List[str] = []
 
         def pre_commit() -> bool:
             vals = obs_in.get
@@ -499,6 +580,20 @@ class CdcPipeline:
                 m.upserts = (out["n_out"] or 0) - m.deletes
                 m.invalid = vals["rows_in"] - valid
                 m.dedup_dropped = valid - (out["n_out"] or 0)
+            if self.expectations:
+                out = obs_out.get
+                dropped = 0
+                for i, (name, _pred, action) in enumerate(self.expectations):
+                    n = out[f"exp_{i}"] or 0
+                    m.expectation_failures[name] = n
+                    if action == "fail" and n > 0:
+                        exp_fail_holder.append(f"{name} ({n} rows)")
+                    elif action == "drop":
+                        dropped += n
+                if self.collect_metrics:
+                    m.upserts -= dropped  # merged upserts, post-drop
+                if exp_fail_holder:
+                    return False  # abort pre-publish; raised below
             if detect_drift and self.auto_evolve:
                 drift_holder.extend(
                     sorted(
@@ -516,6 +611,22 @@ class CdcPipeline:
             delete_col="__del",
             pre_commit=pre_commit if use_obs else None,
         )
+        if exp_fail_holder:
+            # the abort already discarded the stage pre-publish; reclaim
+            # its files immediately (this is the pipeline's own decision,
+            # like the drift abort) and fail loudly — the epoch replays
+            # after the producer fix
+            if res.get("orphaned_dir"):
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(self.table.path, res["orphaned_dir"]),
+                    ignore_errors=True,
+                )
+            raise ExpectationFailed(
+                f"epoch {epoch} aborted: expectation(s) violated — "
+                + "; ".join(exp_fail_holder)
+            )
         if drift_holder:
             res["drift_keys"] = drift_holder
         return res
