@@ -677,6 +677,95 @@ def _dml_oracle_sql(log_path: str) -> str:
     """
 
 
+_EXP_ORACLE_LOG = f"{_ORACLE_TMP}/exp_log"
+
+
+def _cdc_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations in the replay (DLT expect_or_drop parity),
+    hard-verified: the standard pipeline runs with a drop-action
+    expectation ``n_tok % 5 != 0`` (plus a warn that only counts) — each
+    epoch's violating LWW winner is REJECTED pre-merge, so the doc keeps
+    its prior state, while deletes are exempt. The DuckDB oracle replays
+    the epoch-aware algebra: per-(doc, epoch) max-offset winner over the
+    valid channel, winners surviving iff delete-or-predicate (NULL =
+    violation, COALESCE false), then the latest surviving event per doc
+    with delete suppression. tests/test_expectations.py pins the
+    engine-side mechanics (warn/drop/fail actions, single-pass counts,
+    replayability after a fail)."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="exp_entry_")
+    shutil.rmtree(_EXP_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+        )
+        write_changes(spark, cfg, _EXP_ORACLE_LOG)
+        pipe = CdcPipeline(
+            spark,
+            _EXP_ORACLE_LOG,
+            os.path.join(work, "table"),
+            num_buckets=8,
+            expectations=[
+                ("tok_mod5", "n_tok % 5 != 0", "drop"),
+                ("tok_small", "n_tok < 1000", "warn"),
+            ],
+        )
+        metrics = pipe.run()
+        assert any(
+            m.expectation_failures.get("tok_mod5", 0) > 0 for m in metrics
+        ), "fixture never fired the drop expectation"
+        out = pipe.table.read().select("doc_id", "n_tok", "source")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _expectations_oracle_sql(log_path: str) -> str:
+    """Epoch-aware replay with the drop-expectation algebra: the engine
+    applies expectations to each epoch's LWW winner, so the oracle ranks
+    winners per (doc, epoch), keeps delete winners plus predicate-passing
+    upserts (NULL predicate = violation), and resolves the final state as
+    the latest surviving event per doc."""
+    return f"""
+        WITH log AS (
+          SELECT * FROM read_parquet(
+            '{log_path}/epoch=*/*.parquet', hive_partitioning=1)
+        ), valid AS (
+          SELECT epoch, log_offset, op,
+                 json_extract_string(payload, '$.doc_id') AS doc_id,
+                 CAST(json_extract_string(payload, '$.n_tok') AS INT) AS n_tok,
+                 json_extract_string(payload, '$.source') AS source
+          FROM log
+          WHERE json_valid(payload)
+            AND (json_type(payload, '$.tokens') IS DISTINCT FROM 'VARCHAR'
+                 OR json_valid(json_extract_string(payload, '$.tokens')))
+        ), winners AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id, epoch ORDER BY log_offset DESC) AS rn
+          FROM valid WHERE doc_id IS NOT NULL
+        ), surviving AS (
+          SELECT * FROM winners
+          WHERE rn = 1
+            AND (op = 'D' OR COALESCE(n_tok % 5 != 0, FALSE))
+        ), final AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY epoch DESC) AS rn2
+          FROM surviving
+        )
+        SELECT doc_id, n_tok, source FROM final WHERE rn2 = 1 AND op <> 'D'
+    """
+
+
 _WAP_ORACLE_LOG = f"{_ORACLE_TMP}/wap_log"
 
 
@@ -2455,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changefeed": _cdc_changefeed,
         "cdc_dml_state": _cdc_dml_state,
         "cdc_wap_publish": _cdc_wap_publish,
+        "cdc_expectations": _cdc_expectations,
         "cdc_merge_into": _cdc_merge_into,
         "cdc_read_where": _cdc_read_where,
         "cdc_scd2_history": _cdc_scd2_history,
@@ -2634,6 +2724,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changefeed": _changefeed_oracle_sql(_CDF_ORACLE_LOG),
         "cdc_dml_state": _dml_oracle_sql(_DML_ORACLE_LOG),
         "cdc_wap_publish": _dml_oracle_sql(_WAP_ORACLE_LOG),
+        "cdc_expectations": _expectations_oracle_sql(_EXP_ORACLE_LOG),
         "cdc_merge_into": _merge_into_oracle_sql(_MI_ORACLE_LOG),
         "cdc_read_where": _read_where_oracle_sql(_RW_ORACLE_LOG),
         "cdc_scd2_history": _scd2_oracle_sql(_SCD2_ORACLE_LOG),
