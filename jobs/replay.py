@@ -61,6 +61,16 @@ def main() -> int:
         "this target (buckets grow with data; decision is metadata-only)",
     )
     ap.add_argument(
+        "--expect",
+        action="append",
+        default=[],
+        metavar="NAME:ACTION:PREDICATE",
+        help="data-quality expectation over each epoch's LWW winners "
+        "(repeatable): ACTION is warn|drop|fail; PREDICATE is a SQL "
+        "boolean over the table columns, e.g. "
+        "--expect 'tok_ok:drop:n_tok >= 0'",
+    )
+    ap.add_argument(
         "--stats-columns",
         default=None,
         help="comma-separated columns to record per-file min/max stats "
@@ -80,6 +90,13 @@ def main() -> int:
 
     from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
 
+    expectations = []
+    for s in args.expect:
+        if s.count(":") < 2:
+            raise SystemExit(f"--expect {s!r} is not NAME:ACTION:PREDICATE")
+        name, action, pred = s.split(":", 2)
+        expectations.append((name, pred, action))
+
     pipe = CdcPipeline(
         spark,
         changes_path=args.changes,
@@ -97,6 +114,7 @@ def main() -> int:
             if args.stats_columns
             else ()
         ),
+        expectations=expectations,
     )
     metrics = pipe.run(max_epochs=args.max_epochs)
     for m in metrics:

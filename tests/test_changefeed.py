@@ -276,5 +276,5 @@ def test_history_and_timestamp_travel(spark, tmp_path):
     assert [r["tokens"] for r in t.read(as_of_ts=time.time()).collect()] == [[2]]
     with pytest.raises(FileNotFoundError):
         t.version_as_of(hist[0]["committed_at"] - 10.0)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         t.read(version=1, as_of_ts=ts_mid)
