@@ -48,6 +48,7 @@ def run_streaming_apply(
     lww_strategy: str = "agg",
     available_now: bool = True,
     max_files_per_trigger: Optional[int] = None,
+    expectations=(),
 ):
     """Tail ``changes_path`` (parquet dir) and apply micro-batches to the
     SnapTable at ``table_path``. Returns the StreamingQuery (caller awaits
@@ -65,6 +66,10 @@ def run_streaming_apply(
         # Observation.get never resolves under foreachBatch (no
         # QueryExecutionListener events there) — use explicit scans
         use_observations=False,
+        # data-quality expectations apply per micro-batch exactly as per
+        # epoch (a fail-action raise fails the streaming query loudly;
+        # the batch replays on restart after the producer fix)
+        expectations=expectations,
     )
 
     reader = (

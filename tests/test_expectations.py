@@ -27,7 +27,7 @@ def write_log(spark, path, epochs):
             off += 1
     spark.createDataFrame(
         rows, "log_offset long, epoch int, op string, payload string"
-    ).write.mode("overwrite").partitionBy("epoch").parquet(path)
+    ).coalesce(1).write.mode("overwrite").partitionBy("epoch").parquet(path)
 
 
 def state(pipe):
@@ -170,3 +170,46 @@ def test_null_predicate_is_violation(spark, tmp_path):
     metrics = pipe.run()
     assert pipe.table.read().count() == 0
     assert metrics[0].expectation_failures == {"has_tok": 1}
+
+
+def test_streaming_apply_honors_expectations(spark, tmp_path):
+    """The Structured Streaming front-end applies the same drop algebra
+    per micro-batch. Expectations gate each batch's LWW WINNERS, so the
+    result depends on batch boundaries by design (a bad later update in
+    the same batch shadows a good earlier insert); one file per trigger
+    aligns micro-batches with the batch pipeline's epochs, and then the
+    two front-ends must agree exactly."""
+    from embulk_filter_expand_json_spark.streaming.stream_apply import (
+        run_streaming_apply,
+    )
+
+    log = str(tmp_path / "log")
+    write_log(spark, log, [
+        [("a", 5, "I"), ("b", 50, "I")],
+        [("a", 500, "U"), ("c", 7, "I")],
+    ])
+    exps = [("small_doc", "n_tok < 40", "drop")]
+    q = run_streaming_apply(
+        spark,
+        changes_path=log,
+        table_path=str(tmp_path / "stream_t"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        num_buckets=2,
+        expectations=exps,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(120)
+
+    batch = CdcPipeline(
+        spark, log, str(tmp_path / "batch_t"), num_buckets=2,
+        expectations=exps,
+    )
+    batch.run()
+    from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
+
+    got = {
+        r["doc_id"]: r["n_tok"]
+        for r in SnapTable(spark, str(tmp_path / "stream_t")).read().collect()
+    }
+    assert got == state(batch)
+    assert got == {"a": 5, "c": 7}  # b@50 and a@500 rejected
