@@ -106,6 +106,8 @@ class CdcPipeline:
         auto_rebucket_bytes: Optional[int] = None,
         stats_columns: Sequence[str] = (),
         expectations: Sequence[tuple] = (),
+        bloom_columns: Sequence[str] = (),
+        bloom_ndv: Optional[int] = None,
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -220,6 +222,17 @@ class CdcPipeline:
                         if stats_columns
                         else {}
                     ),
+                    # parquet Bloom bitsets on these columns at every data
+                    # write — the row-group skipping structure that works
+                    # where min/max can't (hash-randomized key layouts);
+                    # consulted by Spark's reader for pushed-down
+                    # equality/IN predicates (the lookup() path)
+                    **(
+                        {"bloom_columns": list(bloom_columns)}
+                        if bloom_columns
+                        else {}
+                    ),
+                    **({"bloom_ndv": int(bloom_ndv)} if bloom_ndv else {}),
                 },
             )
 

@@ -1000,6 +1000,28 @@ class SnapTable:
             paths.update(f["path"] for f in entry["files"])
         return paths
 
+    def _bloom_options(self, man: dict) -> dict:
+        """parquet-mr Bloom filter write options for the ``bloom_columns``
+        table property. Hash-bucketing puts RANDOM key values in every
+        file, so min/max key stats can barely prune within a bucket —
+        Bloom filters are the skipping structure that works on hashed
+        layouts: Spark's parquet reader consults them during row-group
+        filtering for pushed-down equality/IN predicates (the lookup()
+        path), skipping row groups that provably lack the probed keys.
+        ``bloom_ndv`` (optional, default parquet-mr's) sizes the bitset;
+        set it near the expected distinct keys per file to avoid the
+        default 1M-NDV bitset on small files."""
+        props = man.get("properties", {})
+        cols = props.get("bloom_columns") or []
+        opts = {}
+        for c in cols:
+            opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+            if props.get("bloom_ndv"):
+                opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(
+                    int(props["bloom_ndv"])
+                )
+        return opts
+
     def _read_files(self, files: List[dict], schema: T.StructType) -> DataFrame:
         paths = [os.path.join(self.path, f["path"]) for f in files]
         if not paths:
@@ -1138,6 +1160,7 @@ class SnapTable:
             staged_part
             .sortWithinPartitions("__bucket", "__is_delete", key)
             .write.mode("errorifexists")
+            .options(**self._bloom_options(man))
             .partitionBy("__bucket", "__is_delete")
             .parquet(stage_dir)
         )
@@ -1345,6 +1368,7 @@ class SnapTable:
                 rw_part
                 .sortWithinPartitions(key)
                 .write.mode("errorifexists")
+                .options(**self._bloom_options(man))
                 .partitionBy("__bucket")
                 .parquet(rw_dir)
             )
@@ -1989,6 +2013,7 @@ class SnapTable:
         (
             part
             .write.mode("errorifexists")
+            .options(**self._bloom_options(man))
             .partitionBy("__bucket")
             .parquet(commit_dir)
         )

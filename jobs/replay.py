@@ -61,6 +61,18 @@ def main() -> int:
         "this target (buckets grow with data; decision is metadata-only)",
     )
     ap.add_argument(
+        "--bloom-columns",
+        default=None,
+        help="comma-separated columns to write parquet Bloom filters for "
+        "(row-group skipping for point lookups on hashed layouts)",
+    )
+    ap.add_argument(
+        "--bloom-ndv",
+        type=int,
+        default=None,
+        help="expected distinct values per file for the Bloom bitset size",
+    )
+    ap.add_argument(
         "--expect",
         action="append",
         default=[],
@@ -115,6 +127,12 @@ def main() -> int:
             else ()
         ),
         expectations=expectations,
+        bloom_columns=(
+            [c for c in args.bloom_columns.split(",") if c]
+            if args.bloom_columns
+            else ()
+        ),
+        bloom_ndv=args.bloom_ndv,
     )
     metrics = pipe.run(max_epochs=args.max_epochs)
     for m in metrics:

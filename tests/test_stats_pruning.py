@@ -234,3 +234,56 @@ def test_lookup_null_key_with_stats(spark, tmp_path):
     )
     got = {r["doc_id"]: r["n_tok"] for r in t.lookup([None, "b"]).collect()}
     assert got == {None: 2, "b": 3}
+
+
+def test_bloom_columns_write_bitsets_and_survive_compact(spark, tmp_path):
+    """bloom_columns writes parquet-mr Bloom bitsets on every data path
+    (merge stage, rewrite, compact): same data with blooms on is
+    measurably larger on disk (the bitsets), point lookups stay exact,
+    and a compaction keeps writing them. Min/max key stats can barely
+    prune within a hash bucket (keys are randomized by the bucketing);
+    blooms are the skipping structure for hashed layouts."""
+    import os as _os
+
+    from embulk_filter_expand_json_spark.streaming.pipeline import (
+        SEQUENCES_SCHEMA,
+    )
+    from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
+
+    def disk_bytes(t):
+        total = 0
+        for root, _d, names in _os.walk(t.data_dir):
+            total += sum(
+                _os.path.getsize(_os.path.join(root, n))
+                for n in names if n.endswith(".parquet")
+            )
+        return total
+
+    rows = [(f"doc-{i:05d}", [i], 1, "s", False) for i in range(4000)]
+
+    def mk(path, props):
+        t = SnapTable(spark, str(path))
+        t.create(SEQUENCES_SCHEMA, key="doc_id", num_buckets=2,
+                 properties=props)
+        df = spark.createDataFrame(
+            rows,
+            "doc_id string, tokens array<int>, n_tok int, source string, "
+            "is_del boolean",
+        )
+        t.merge(df, epoch=0, delete_col="is_del")
+        return t
+
+    plain = mk(tmp_path / "plain", None)
+    bloom = mk(tmp_path / "bloom",
+               {"bloom_columns": ["doc_id"], "bloom_ndv": 4000})
+    b_plain, b_bloom = disk_bytes(plain), disk_bytes(bloom)
+    assert b_bloom > b_plain + 1024, (b_plain, b_bloom)
+
+    # lookups stay exact through the bloom-written files
+    got = {r["doc_id"] for r in bloom.lookup(["doc-00007", "doc-03999"]).collect()}
+    assert got == {"doc-00007", "doc-03999"}
+
+    # compaction rewrites carry the bitsets too
+    bloom.compact()
+    assert disk_bytes(bloom) > disk_bytes(plain) + 1024
+    assert bloom.read().count() == 4000
