@@ -287,3 +287,27 @@ def test_bloom_columns_write_bitsets_and_survive_compact(spark, tmp_path):
     bloom.compact()
     assert disk_bytes(bloom) > disk_bytes(plain) + 1024
     assert bloom.read().count() == 4000
+
+
+def test_pipeline_bloom_knobs_reach_table_properties(spark, tmp_path):
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    log = str(tmp_path / "log")
+    write_changes(
+        spark,
+        ChangeGenConfig(n_events=500, n_docs=30, batch_size=500, seed=3),
+        log,
+    )
+    pipe = CdcPipeline(
+        spark, log, str(tmp_path / "t"), num_buckets=2,
+        bloom_columns=["doc_id"], bloom_ndv=1000,
+    )
+    props = pipe.table.manifest()["properties"]
+    assert props["bloom_columns"] == ["doc_id"]
+    assert props["bloom_ndv"] == 1000
+    pipe.run()
+    assert pipe.table.read().count() > 0
