@@ -155,3 +155,53 @@ def test_branch_compaction_publishes(spark, tmp_path):
     t.drop_branch("maint")
     t.remove_orphans(older_than_sec=0.0)
     assert rows_of(t) == before
+
+
+def test_fast_forward_midway_race_leaves_consistent_prefix(spark, tmp_path):
+    """A rival main commit landing BETWEEN two fast-forward publishes:
+    the second PUT loses the create-exclusive race, CommitConflict is
+    raised, and main is left on a consistent prefix (the first branch
+    commit) — every fast-forwarded manifest was a valid table state."""
+    t = seeded(spark, tmp_path)
+    b = t.create_branch("audit")
+    b.merge(delta(spark, [("k0", [7], 1, "s", False)]), epoch=2,
+            delete_col="is_del")
+    b.merge(delta(spark, [("k1", [8], 1, "s", False)]), epoch=3,
+            delete_col="is_del")
+    bversions = b._versions()
+    # rival steals the SECOND slot between our two publishes: wrap the fs
+    # so the rival manifest appears right after the first PUT lands
+    import json as _json
+    import os as _os
+
+    real_publish = t.fs.publish_atomic
+    calls = []
+
+    def racing_publish(content, final_path):
+        real_publish(content, final_path)
+        calls.append(final_path)
+        if len(calls) == 1:
+            rival = _json.loads(
+                open(
+                    _os.path.join(t.log_dir, f"v{bversions[-3]:08d}.json")
+                ).read()
+            )
+            rival["version"] = bversions[-1]
+            rival["commit_uuid"] = "rival"
+            open(
+                _os.path.join(t.log_dir, f"v{bversions[-1]:08d}.json"), "w"
+            ).write(_json.dumps(rival))
+
+    t.fs.publish_atomic = racing_publish
+    try:
+        with pytest.raises(CommitConflict, match="consistent"):
+            t.fast_forward("audit")
+    finally:
+        t.fs.publish_atomic = real_publish
+    # the prefix (first branch commit) IS published and readable
+    assert t.manifest(bversions[-2])["commit_uuid"] == b.manifest(
+        bversions[-2]
+    )["commit_uuid"]
+    state = {r["doc_id"]: r["tokens"]
+             for r in t.read(version=bversions[-2]).collect()}
+    assert state["k0"] == [7]
