@@ -372,10 +372,16 @@ class SnapTable:
             )
         except PublishConflict:
             raise CommitConflict(f"branch {name!r} already exists")
-        self.fs.publish_atomic(
-            json.dumps(head),
-            posixpath.join(bdir, f"v{head['version']:08d}.json"),
-        )
+        try:
+            self.fs.publish_atomic(
+                json.dumps(head),
+                posixpath.join(bdir, f"v{head['version']:08d}.json"),
+            )
+        except BaseException:
+            # seed publish failed: remove the marker so the half-created
+            # branch is invisible and the name is immediately reusable
+            self.fs.delete(posixpath.join(bdir, "BRANCH.json"))
+            raise
         return self.branch(name)
 
     def branch(self, name: str) -> "SnapTable":

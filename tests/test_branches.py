@@ -205,3 +205,25 @@ def test_fast_forward_midway_race_leaves_consistent_prefix(spark, tmp_path):
     state = {r["doc_id"]: r["tokens"]
              for r in t.read(version=bversions[-2]).collect()}
     assert state["k0"] == [7]
+
+
+def test_create_branch_cleans_marker_when_seed_publish_fails(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    real = t.fs.publish_atomic
+    calls = []
+
+    def failing(content, final_path):
+        calls.append(final_path)
+        if len(calls) == 2:  # the seed manifest
+            raise OSError("disk full")
+        real(content, final_path)
+
+    t.fs.publish_atomic = failing
+    try:
+        with pytest.raises(OSError, match="disk full"):
+            t.create_branch("audit")
+    finally:
+        t.fs.publish_atomic = real
+    assert t.branches() == []          # invisible
+    b = t.create_branch("audit")       # name immediately reusable
+    assert b.read().count() == 8
