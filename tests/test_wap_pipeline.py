@@ -90,3 +90,50 @@ def test_wap_recovers_leftover_branch(spark, changes_path, tmp_path):
     assert wap.table.branches() == []
     assert wap.table.manifest()["version"] > stale_head
     assert wap.last_committed_epoch() == max(wap.available_epochs())
+
+
+def test_canned_audits_gate_publication(spark, changes_path, tmp_path):
+    from embulk_filter_expand_json_spark.streaming.audits import (
+        AuditFailed,
+        all_of,
+        no_nulls,
+        row_count_delta,
+        unique_key,
+    )
+
+    pipe = CdcPipeline(spark, changes_path, str(tmp_path / "t"),
+                       num_buckets=4)
+    pipe.run(max_epochs=1)
+    before = state(pipe.table)
+    v_before = pipe.table.manifest()["version"]
+
+    # a passing composite audit publishes the remaining epochs
+    ok = all_of(
+        unique_key(),
+        no_nulls(["doc_id", "source"]),
+        row_count_delta(pipe.table, max_growth_pct=500.0,
+                        max_shrink_pct=90.0),
+    )
+    r = pipe.run_wap(ok)
+    assert r["published"]
+
+    # roll back, then an impossible growth bound blocks publication with
+    # a specific reason and main stays byte-untouched
+    pipe.table.restore(version=v_before)
+    assert state(pipe.table) == before
+    strict = row_count_delta(pipe.table, max_growth_pct=0.1)
+    with pytest.raises(AuditFailed, match="grew"):
+        pipe.run_wap(strict)
+    assert state(pipe.table) == before
+    assert pipe.table.branches() == []
+
+    # no_nulls failure reads specifically too: the drift-evolved 'lang'
+    # column is NULL on every pre-drift row by construction
+    assert "lang" in pipe.table.schema().fieldNames()
+    try:
+        pipe.run_wap(all_of(unique_key(), no_nulls(["lang"])))
+        raised = False
+    except AuditFailed as e:
+        raised = "NULLs" in str(e)
+    assert raised
+    assert state(pipe.table) == before  # still unpublished
