@@ -227,3 +227,22 @@ def test_create_branch_cleans_marker_when_seed_publish_fails(spark, tmp_path):
     assert t.branches() == []          # invisible
     b = t.create_branch("audit")       # name immediately reusable
     assert b.read().count() == 8
+
+
+def test_fast_forward_many_commits_is_metadata_only(spark, tmp_path):
+    """30 staged commits publish as 30 small file ops — no Spark job, no
+    data movement; wall time stays far below one job launch per commit."""
+    import time as _time
+
+    t = seeded(spark, tmp_path)
+    b = t.create_branch("audit")
+    for i in range(30):
+        b.merge(delta(spark, [(f"k{i % 8}", [100 + i], 1, "s", False)]),
+                epoch=2 + i, delete_col="is_del")
+    t0 = _time.time()
+    r = t.fast_forward("audit")
+    dt = _time.time() - t0
+    assert len(r["published_versions"]) == 30
+    assert dt < 5.0, f"fast-forward of 30 commits took {dt:.2f}s"
+    assert rows_of(t) == rows_of(b)
+    assert t.manifest()["last_committed_epoch"] == 31
