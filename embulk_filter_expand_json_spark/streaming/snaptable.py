@@ -565,6 +565,7 @@ class SnapTable:
             "properties": man.get("properties", {}),
             "committed_at": man.get("committed_at"),
             "tags": self.tags(),
+            "branches": [] if self.is_branch else self.branches(),
         }
 
     def read(
