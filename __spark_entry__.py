@@ -600,6 +600,201 @@ def _cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_DBZ_ORACLE_LOG = f"{_ORACLE_TMP}/dbz_log"
+_MXW_ORACLE_LOG = f"{_ORACLE_TMP}/mxw_log"
+
+
+def _cdc_debezium_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog-envelope front-end, hard-verified end to end: the synthetic
+    change stream is wrapped into Debezium JSON envelopes (op c/u/d,
+    before/after images, source.lsn) and materialized; the engine path is
+    decode_debezium (pure-Catalyst get_json_object projection) -> canonical
+    change log -> full CdcPipeline replay; the DuckDB oracle parses the SAME
+    envelope file with its own JSON functions (op normalization, delete =
+    before image, lsn offset) and replays LWW + delete suppression +
+    invalid-drop in SQL. p_malformed=0 here: a truncated doc embedded by
+    concat would corrupt the envelope itself (op/lsn unreadable) — envelope-
+    level corruption policy is pinned by tests/test_envelopes.py; the
+    bad-typed invalid channel (tokens as a non-JSON string) stays on."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        generate_changes,
+    )
+    from embulk_filter_expand_json_spark.sources.envelopes import (
+        decode_debezium,
+        write_envelope_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="dbz_entry_")
+    shutil.rmtree(_DBZ_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+            p_malformed=0.0,
+        )
+        env = generate_changes(spark, cfg).select(
+            F.concat(
+                F.lit('{"payload":{"op":"'),
+                F.when(F.col("op") == "D", F.lit("d"))
+                .when(F.col("op") == "I", F.lit("c"))
+                .otherwise(F.lit("u")),
+                F.lit('","source":{"lsn":'),
+                F.col("log_offset").cast("string"),
+                F.lit("},"),
+                F.when(F.col("op") == "D", F.lit('"before":')).otherwise(
+                    F.lit('"after":')
+                ),
+                F.col("payload"),
+                F.lit("}}"),
+            ).alias("value")
+        )
+        env.write.mode("overwrite").parquet(_DBZ_ORACLE_LOG)
+        decoded = decode_debezium(
+            spark.read.parquet(_DBZ_ORACLE_LOG), epoch_size=cfg.batch_size
+        )
+        log = os.path.join(work, "log")
+        write_envelope_changes(decoded, log)
+        pipe = CdcPipeline(spark, log, os.path.join(work, "table"), num_buckets=8)
+        pipe.run()
+        out = pipe.table.read().select("doc_id", "n_tok", "source")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _envelope_replay_oracle_sql(decoded_cte: str) -> str:
+    """Shared LWW tail over a decoder CTE that yields (log_offset, op,
+    payload JSON). Mirrors _replay_oracle_sql's valid/ranked algebra."""
+    return f"""
+        WITH {decoded_cte}, valid AS (
+          SELECT log_offset, op,
+                 json_extract_string(payload, '$.doc_id') AS doc_id,
+                 CAST(json_extract_string(payload, '$.n_tok') AS INT) AS n_tok,
+                 json_extract_string(payload, '$.source') AS source
+          FROM dec
+          WHERE payload IS NOT NULL AND json_valid(CAST(payload AS VARCHAR))
+            AND (json_type(payload, '$.tokens') IS DISTINCT FROM 'VARCHAR'
+                 OR json_valid(json_extract_string(payload, '$.tokens')))
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY log_offset DESC) AS rn
+          FROM valid WHERE doc_id IS NOT NULL
+        )
+        SELECT doc_id, n_tok, source FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
+def _debezium_oracle_sql(log_path: str) -> str:
+    """DuckDB parses the raw Debezium envelopes itself — independent
+    op normalization (c/r->I, u->U, d->D), before-image deletes, lsn
+    offsets — then replays the canonical LWW algebra."""
+    return _envelope_replay_oracle_sql(f"""
+        env AS (
+          SELECT * FROM read_parquet('{log_path}/*.parquet')
+        ), dec AS (
+          SELECT
+            CAST(json_extract_string(value, '$.payload.source.lsn') AS BIGINT)
+              AS log_offset,
+            CASE json_extract_string(value, '$.payload.op')
+              WHEN 'c' THEN 'I' WHEN 'r' THEN 'I'
+              WHEN 'u' THEN 'U' WHEN 'd' THEN 'D' END AS op,
+            CASE WHEN json_extract_string(value, '$.payload.op') = 'd'
+                 THEN json_extract(value, '$.payload.before')
+                 ELSE json_extract(value, '$.payload.after') END AS payload
+          FROM env WHERE value IS NOT NULL
+        )""")
+
+
+def _cdc_maxwell_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell-envelope front-end (type insert/update/delete, row image in
+    data, binlog file:pos position), hard-verified like the Debezium entry:
+    decode_maxwell packs position into a monotone long (file_seq*2^32+pos —
+    order survives binlog rotation) and the DuckDB oracle re-derives the
+    SAME packing from the raw position strings with its own string/regex
+    functions before replaying LWW in SQL."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        generate_changes,
+    )
+    from embulk_filter_expand_json_spark.sources.envelopes import (
+        decode_maxwell,
+        write_envelope_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="mxw_entry_")
+    shutil.rmtree(_MXW_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+            p_malformed=0.0,
+        )
+        # position: rotate the binlog file every batch_size events so the
+        # cross-file ordering property is exercised at contract scale, with
+        # the byte offset restarting inside each file.
+        env = generate_changes(spark, cfg).select(
+            F.concat(
+                F.lit('{"type":"'),
+                F.when(F.col("op") == "D", F.lit("delete"))
+                .when(F.col("op") == "I", F.lit("insert"))
+                .otherwise(F.lit("update")),
+                F.lit('","position":"master.'),
+                F.lpad(
+                    F.floor(F.col("log_offset") / cfg.batch_size).cast("string"),
+                    6,
+                    "0",
+                ),
+                F.lit(":"),
+                F.pmod(F.col("log_offset"), F.lit(cfg.batch_size)).cast("string"),
+                F.lit('","data":'),
+                F.col("payload"),
+                F.lit("}"),
+            ).alias("value")
+        )
+        env.write.mode("overwrite").parquet(_MXW_ORACLE_LOG)
+        decoded = decode_maxwell(
+            spark.read.parquet(_MXW_ORACLE_LOG), epoch_size=4294967296
+        )
+        log = os.path.join(work, "log")
+        write_envelope_changes(decoded, log)
+        pipe = CdcPipeline(spark, log, os.path.join(work, "table"), num_buckets=8)
+        pipe.run()
+        out = pipe.table.read().select("doc_id", "n_tok", "source")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _maxwell_oracle_sql(log_path: str) -> str:
+    return _envelope_replay_oracle_sql(f"""
+        env AS (
+          SELECT * FROM read_parquet('{log_path}/*.parquet')
+        ), dec AS (
+          SELECT
+            CAST(regexp_extract(
+                   split_part(json_extract_string(value, '$.position'), ':', 1),
+                   '([0-9]+)$', 1) AS BIGINT) * 4294967296
+              + CAST(split_part(json_extract_string(value, '$.position'),
+                                ':', 2) AS BIGINT) AS log_offset,
+            CASE json_extract_string(value, '$.type')
+              WHEN 'insert' THEN 'I' WHEN 'bootstrap-insert' THEN 'I'
+              WHEN 'update' THEN 'U' WHEN 'delete' THEN 'D' END AS op,
+            json_extract(value, '$.data') AS payload
+          FROM env WHERE value IS NOT NULL
+        )""")
+
+
 _DML_ORACLE_LOG = f"{_ORACLE_TMP}/dml_log"
 
 
@@ -2542,6 +2737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_dedup_keyjoin": _lww_keyjoin,
         "cdc_replay_state": _cdc_replay_state,
         "cdc_changefeed": _cdc_changefeed,
+        "cdc_debezium_ingest": _cdc_debezium_ingest,
+        "cdc_maxwell_ingest": _cdc_maxwell_ingest,
         "cdc_dml_state": _cdc_dml_state,
         "cdc_wap_publish": _cdc_wap_publish,
         "cdc_expectations": _cdc_expectations,
@@ -2722,6 +2919,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_replay_state": _replay_oracle_sql(_CDC_ORACLE_LOG),
         "cdc_changefeed": _changefeed_oracle_sql(_CDF_ORACLE_LOG),
+        "cdc_debezium_ingest": _debezium_oracle_sql(_DBZ_ORACLE_LOG),
+        "cdc_maxwell_ingest": _maxwell_oracle_sql(_MXW_ORACLE_LOG),
         "cdc_dml_state": _dml_oracle_sql(_DML_ORACLE_LOG),
         "cdc_wap_publish": _dml_oracle_sql(_WAP_ORACLE_LOG),
         "cdc_expectations": _expectations_oracle_sql(_EXP_ORACLE_LOG),

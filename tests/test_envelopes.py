@@ -1,0 +1,205 @@
+"""Binlog-envelope decoders (Debezium / Maxwell) -> canonical changes.
+
+Covers: op normalization for both dialects, wrapped vs flat Debezium
+envelopes, tombstone/marker handling, delete row images, offset synthesis
+(lsn probing; Maxwell position packing across binlog rotation), the
+unknown-op policies, and end-to-end parity: a Debezium-wrapped copy of the
+synthetic change stream replayed through CdcPipeline must produce the
+byte-identical final table state as the canonical log itself.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from embulk_filter_expand_json_spark.sources.changegen import (
+    ChangeGenConfig,
+    generate_changes,
+)
+from embulk_filter_expand_json_spark.sources.envelopes import (
+    decode_debezium,
+    decode_maxwell,
+    maxwell_position_offset,
+    write_envelope_changes,
+)
+from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+
+def _dbz(op, after=None, before=None, lsn=None, ts_ms=None, wrapped=True):
+    payload = {"op": op, "after": after, "before": before, "ts_ms": ts_ms}
+    payload["source"] = {"lsn": lsn} if lsn is not None else {}
+    return json.dumps({"schema": {}, "payload": payload} if wrapped else payload)
+
+
+def _mxw(typ, data=None, old=None, position=None, ts=None, xid=None):
+    d = {"type": typ, "data": data, "old": old, "position": position,
+         "ts": ts, "xid": xid}
+    return json.dumps({k: v for k, v in d.items() if v is not None})
+
+
+@pytest.fixture(params=[True, False], ids=["wrapped", "flat"])
+def dbz_frame(request, spark):
+    w = request.param
+    rows = [
+        Row(value=_dbz("c", after={"doc_id": "a", "n": 1}, lsn=10, wrapped=w)),
+        Row(value=_dbz("u", after={"doc_id": "a", "n": 2},
+                       before={"doc_id": "a", "n": 1}, lsn=20, wrapped=w)),
+        Row(value=_dbz("r", after={"doc_id": "b", "n": 7}, lsn=30, wrapped=w)),
+        Row(value=_dbz("d", before={"doc_id": "a", "n": 2}, lsn=40, wrapped=w)),
+        Row(value=None),  # Kafka compaction tombstone
+    ]
+    return spark.createDataFrame(rows, "value string")
+
+
+def test_debezium_ops_offsets_and_images(dbz_frame):
+    out = decode_debezium(dbz_frame).orderBy("log_offset").collect()
+    assert [(r.log_offset, r.op) for r in out] == [
+        (10, "I"), (20, "U"), (30, "I"), (40, "D"),
+    ]
+    # upserts carry the after image; the delete carries the before image
+    assert json.loads(out[1].payload) == {"doc_id": "a", "n": 2}
+    assert json.loads(out[3].payload) == {"doc_id": "a", "n": 2}
+    assert "epoch" not in dbz_frame.columns
+
+
+def test_debezium_offset_fallback_to_ts_ms(spark):
+    df = spark.createDataFrame(
+        [Row(value=_dbz("c", after={"k": 1}, lsn=None, ts_ms=1700000000123))],
+        "value string",
+    )
+    assert decode_debezium(df).first().log_offset == 1700000000123
+
+
+def test_debezium_unknown_op_policies(spark):
+    df = spark.createDataFrame(
+        [Row(value=_dbz("c", after={"k": 1}, lsn=1)),
+         Row(value=_dbz("t", lsn=2))],  # truncate: not a row change
+        "value string",
+    )
+    with pytest.raises(Exception, match="unknown debezium op: t"):
+        decode_debezium(df).collect()
+    kept = decode_debezium(df, on_unknown="drop").collect()
+    assert [(r.log_offset, r.op) for r in kept] == [(1, "I")]
+    raw = decode_debezium(df, on_unknown="keep").orderBy("log_offset").collect()
+    assert raw[1].op == "t"
+
+
+def test_debezium_epoch_assignment(spark):
+    df = spark.createDataFrame(
+        [Row(value=_dbz("c", after={"k": i}, lsn=i)) for i in range(10)],
+        "value string",
+    )
+    out = decode_debezium(df, epoch_size=4)
+    got = {r.log_offset: r.epoch for r in out.collect()}
+    assert got == {i: i // 4 for i in range(10)}
+    out2 = decode_debezium(df, epoch_expr=F.lit(3))
+    assert {r.epoch for r in out2.collect()} == {3}
+
+
+def test_maxwell_ops_and_position_packing(spark):
+    rows = [
+        Row(value=_mxw("insert", data={"doc_id": "x", "n": 1},
+                       position="master.000006:800911")),
+        Row(value=_mxw("update", data={"doc_id": "x", "n": 2},
+                       old={"n": 1}, position="master.000006:900000")),
+        # rotation: later FILE, smaller byte offset — must still order after
+        Row(value=_mxw("delete", data={"doc_id": "x", "n": 2},
+                       position="master.000007:100")),
+        Row(value=_mxw("bootstrap-insert", data={"doc_id": "y", "n": 9},
+                       position="master.000007:200")),
+        Row(value=_mxw("bootstrap-start", position="master.000007:150")),
+        Row(value=_mxw("bootstrap-complete", position="master.000007:300")),
+    ]
+    out = decode_maxwell(spark.createDataFrame(rows, "value string"))
+    got = sorted((r.log_offset, r.op) for r in out.collect())
+    assert [op for _, op in got] == ["I", "U", "D", "I"]
+    offs = [o for o, _ in got]
+    assert offs == sorted(offs) and len(set(offs)) == 4
+    # rotation ordering: file 7 pos 100 > file 6 pos 900000
+    assert got[2][0] > got[1][0]
+    # delete payload is the deleted row image (Maxwell ships it in data)
+    del_rows = [r for r in out.collect() if r.op == "D"]
+    assert len(del_rows) == 1
+    assert json.loads(del_rows[0].payload) == {"doc_id": "x", "n": 2}
+
+
+def test_maxwell_position_offset_is_monotone(spark):
+    df = spark.createDataFrame(
+        [("master.000001:5",), ("master.000001:4294967000",),
+         ("master.000002:0",), ("mysql-bin.000010:77",)],
+        "position string",
+    )
+    vals = [r[0] for r in df.select(maxwell_position_offset(F.col("position"))).collect()]
+    assert vals[0] < vals[1] < vals[2] < vals[3]
+
+
+def test_maxwell_ts_xid_offset_and_unknown(spark):
+    rows = [Row(value=_mxw("insert", data={"k": 1}, ts=100, xid=7)),
+            Row(value=_mxw("table-create", ts=100, xid=8))]
+    df = spark.createDataFrame(rows, "value string")
+    with pytest.raises(Exception, match="unknown maxwell op"):
+        decode_maxwell(df, offset="ts_xid").collect()
+    out = decode_maxwell(df, offset="ts_xid", on_unknown="drop").collect()
+    assert [(r.log_offset, r.op) for r in out] == [(100 * 1048576 + 7, "I")]
+    with pytest.raises(ValueError):
+        decode_maxwell(df, offset="bogus")
+
+
+def test_write_envelope_changes_requires_epoch(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(value=_dbz("c", after={"k": 1}, lsn=1))], "value string"
+    )
+    with pytest.raises(ValueError, match="epoch"):
+        write_envelope_changes(decode_debezium(df), str(tmp_path / "log"))
+
+
+def test_debezium_end_to_end_matches_canonical_replay(spark, tmp_path):
+    """Wrap the synthetic change stream in Debezium envelopes, decode, and
+    replay — the final table must equal the canonical log's replay exactly
+    (same engine, independent input path through the decoder)."""
+    # p_malformed=0: a truncated payload doc embedded by concat would
+    # corrupt the ENVELOPE json (op/lsn unreadable), which is a different
+    # failure class than a bad row doc inside a well-formed envelope.
+    # Bad-typed payloads (valid JSON, tokens:"oops") stay on.
+    cfg = ChangeGenConfig(
+        n_events=4000, n_docs=300, batch_size=1000, seed=7, p_malformed=0.0
+    )
+    changes = generate_changes(spark, cfg)
+
+    canon = str(tmp_path / "canon")
+    changes.write.partitionBy("epoch").parquet(canon)
+
+    # Envelope the stream: op I/U -> c/u with after=payload; D -> d with
+    # before=payload. lsn = log_offset. Malformed payload docs stay
+    # malformed inside the envelope (after is embedded as raw text is not
+    # possible via to_json, so embed payload as after only when it parses;
+    # otherwise ship the raw doc in after via string concat).
+    env = changes.select(
+        F.concat(
+            F.lit('{"payload":{"op":"'),
+            F.when(F.col("op") == "D", F.lit("d"))
+            .when(F.col("op") == "I", F.lit("c"))
+            .otherwise(F.lit("u")),
+            F.lit('","source":{"lsn":'),
+            F.col("log_offset").cast("string"),
+            F.lit('},'),
+            F.when(F.col("op") == "D", F.lit('"before":'))
+            .otherwise(F.lit('"after":')),
+            F.col("payload"),
+            F.lit("}}"),
+        ).alias("value")
+    )
+    decoded = decode_debezium(env, epoch_size=cfg.batch_size)
+    envlog = str(tmp_path / "envlog")
+    write_envelope_changes(decoded, envlog)
+
+    t1 = CdcPipeline(spark, canon, str(tmp_path / "t1"), num_buckets=4)
+    t1.run()
+    t2 = CdcPipeline(spark, envlog, str(tmp_path / "t2"), num_buckets=4)
+    t2.run()
+    a = t1.table.read().select("doc_id", "tokens", "n_tok", "source")
+    b = t2.table.read().select("doc_id", "tokens", "n_tok", "source")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    assert a.count() == b.count() > 0
