@@ -235,6 +235,38 @@ def main() -> None:
         )
         log_path = os.path.join(work, "log")
         write_changes(spark, cfg, log_path)  # setup, not timed
+
+        # binlog-envelope front-end: decode throughput over a Debezium-
+        # enveloped copy of the same change log (materialized untimed so
+        # the timed stage is decode alone — one codegen'd Project, the
+        # stateless first stage every connector-fed deployment pays per
+        # event before LWW/merge).
+        from embulk_filter_expand_json_spark.sources.envelopes import (
+            decode_debezium,
+        )
+
+        env_path = os.path.join(work, "envlog")
+        spark.read.parquet(log_path).select(
+            F.concat(
+                F.lit('{"payload":{"op":"'),
+                F.when(F.col("op") == "D", F.lit("d")).otherwise(F.lit("u")),
+                F.lit('","source":{"lsn":'),
+                F.col("log_offset").cast("string"),
+                F.lit("},"),
+                F.when(F.col("op") == "D", F.lit('"before":')).otherwise(
+                    F.lit('"after":')
+                ),
+                F.col("payload"),
+                F.lit("}}"),
+            ).alias("value")
+        ).write.mode("overwrite").parquet(env_path)
+        env_df = spark.read.parquet(env_path)
+        timed(
+            "envelope_decode",
+            lambda: decode_debezium(env_df, epoch_size=cfg.batch_size)
+            .agg(F.count("log_offset"), F.max("epoch"))
+            .collect(),
+        )
         # bucket count sized to the DATA, not the core count: the SnapTable
         # design target is ~0.25-1 GB per bucket; at bench scale that means
         # few buckets (32 buckets x 8 epochs of ~700-row files is pure

@@ -65,6 +65,10 @@ def _jget(col: Column, *paths: str) -> Column:
 
 
 def _normalize_op(raw: Column, mapping: dict, on_unknown: str, fmt: str) -> Column:
+    if on_unknown not in ("error", "drop", "keep"):
+        raise ValueError(
+            f"on_unknown must be 'error', 'drop', or 'keep', got {on_unknown!r}"
+        )
     expr = None
     for src, dst in mapping.items():
         cond = raw == F.lit(src)

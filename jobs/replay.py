@@ -6,6 +6,12 @@
         --changes /path/to/changelog --table /path/to/table \
         [--max-epochs N] [--strategy agg|window|salted] [--num-buckets 64]
 
+Raw connector dumps replay directly: --input-format debezium|maxwell
+decodes a Debezium/Maxwell envelope dump (parquet string column, or
+JSONL with --envelope-text) into a canonical change log staged at
+--decoded-log, then replays it — the full binlog-tail deployment in one
+spark-submit.
+
 The script is deliberately thin: argument parsing + session construction;
 all engine logic lives in the package shipped via --py-files (the analog of
 the reference's plugin-jar distribution through the Embulk framework).
@@ -20,9 +26,52 @@ import json
 import sys
 
 
-def main() -> int:
+def run(spark, argv) -> int:
     ap = argparse.ArgumentParser(description="CDC binlog replay -> lake upsert")
     ap.add_argument("--changes", required=True, help="change-log parquet root")
+    ap.add_argument(
+        "--input-format",
+        default="canonical",
+        choices=["canonical", "debezium", "maxwell"],
+        help="'canonical' reads --changes as the engine's native "
+        "(log_offset, epoch, op, payload) parquet log; 'debezium' / "
+        "'maxwell' read raw connector envelope dumps (parquet with a "
+        "string column, or JSONL with --envelope-text), decode them "
+        "(sources/envelopes.py, pure-Catalyst projection) and stage a "
+        "canonical log at --decoded-log before the replay",
+    )
+    ap.add_argument(
+        "--decoded-log",
+        default=None,
+        help="staging path for the decoded canonical change log "
+        "(required for envelope formats; decode is deterministic, so "
+        "re-running after a crash restages the same epochs and the "
+        "exactly-once skip applies as usual)",
+    )
+    ap.add_argument(
+        "--envelope-epoch-size",
+        type=int,
+        default=None,
+        help="events per replay epoch when decoding envelopes (epoch = "
+        "floor(log_offset / N); required for envelope formats)",
+    )
+    ap.add_argument(
+        "--envelope-text",
+        action="store_true",
+        help="read --changes as JSONL text (one envelope per line) "
+        "instead of parquet",
+    )
+    ap.add_argument(
+        "--envelope-value-col",
+        default="value",
+        help="envelope string column name in a parquet dump",
+    )
+    ap.add_argument(
+        "--maxwell-offset",
+        default="position",
+        choices=["position", "ts_xid"],
+        help="maxwell offset derivation (binlog file:pos pack, or ts/xid)",
+    )
     ap.add_argument("--table", required=True, help="SnapTable root path")
     ap.add_argument("--max-epochs", type=int, default=None)
     ap.add_argument(
@@ -88,19 +137,44 @@ def main() -> int:
         help="comma-separated columns to record per-file min/max stats "
         "for at commit time (enables SnapTable.read_where file skipping)",
     )
-    args = ap.parse_args()
-
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.appName("cdc-replay")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("WARN")
+    args = ap.parse_args(argv)
 
     from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    changes_path = args.changes
+    if args.input_format != "canonical":
+        if not args.decoded_log or not args.envelope_epoch_size:
+            raise SystemExit(
+                "--decoded-log and --envelope-epoch-size are required "
+                f"for --input-format {args.input_format}"
+            )
+        from embulk_filter_expand_json_spark.sources.envelopes import (
+            decode_debezium,
+            decode_maxwell,
+            write_envelope_changes,
+        )
+
+        if args.envelope_text:
+            raw = spark.read.text(args.changes).withColumnRenamed(
+                "value", args.envelope_value_col
+            )
+        else:
+            raw = spark.read.parquet(args.changes)
+        if args.input_format == "debezium":
+            decoded = decode_debezium(
+                raw,
+                value_col=args.envelope_value_col,
+                epoch_size=args.envelope_epoch_size,
+            )
+        else:
+            decoded = decode_maxwell(
+                raw,
+                value_col=args.envelope_value_col,
+                offset=args.maxwell_offset,
+                epoch_size=args.envelope_epoch_size,
+            )
+        write_envelope_changes(decoded, args.decoded_log)
+        changes_path = args.decoded_log
 
     expectations = []
     for s in args.expect:
@@ -111,7 +185,7 @@ def main() -> int:
 
     pipe = CdcPipeline(
         spark,
-        changes_path=args.changes,
+        changes_path=changes_path,
         table_path=args.table,
         lww_strategy=args.strategy,
         num_buckets=args.num_buckets,
@@ -146,8 +220,23 @@ def main() -> int:
             }
         )
     )
-    spark.stop()
     return 0
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("cdc-replay")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        return run(spark, sys.argv[1:])
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":

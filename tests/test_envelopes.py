@@ -84,6 +84,8 @@ def test_debezium_unknown_op_policies(spark):
     assert [(r.log_offset, r.op) for r in kept] == [(1, "I")]
     raw = decode_debezium(df, on_unknown="keep").orderBy("log_offset").collect()
     assert raw[1].op == "t"
+    with pytest.raises(ValueError, match="on_unknown"):
+        decode_debezium(df, on_unknown="ignore")
 
 
 def test_debezium_epoch_assignment(spark):
@@ -203,3 +205,74 @@ def test_debezium_end_to_end_matches_canonical_replay(spark, tmp_path):
     b = t2.table.read().select("doc_id", "tokens", "n_tok", "source")
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
     assert a.count() == b.count() > 0
+
+
+def test_replay_cli_debezium_jsonl(spark, tmp_path):
+    """spark-submit deployment path: a Debezium JSONL dump replayed via
+    jobs/replay.py run() (--input-format debezium --envelope-text) lands
+    the same final table as the canonical log."""
+    import io
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import replay as replay_cli
+
+    cfg = ChangeGenConfig(
+        n_events=2000, n_docs=200, batch_size=500, seed=11, p_malformed=0.0
+    )
+    changes = generate_changes(spark, cfg)
+    canon = str(tmp_path / "canon")
+    changes.write.partitionBy("epoch").parquet(canon)
+    dump = str(tmp_path / "dump")
+    changes.select(
+        F.concat(
+            F.lit('{"payload":{"op":"'),
+            F.when(F.col("op") == "D", F.lit("d")).otherwise(F.lit("u")),
+            F.lit('","source":{"lsn":'),
+            F.col("log_offset").cast("string"),
+            F.lit("},"),
+            F.when(F.col("op") == "D", F.lit('"before":')).otherwise(
+                F.lit('"after":')
+            ),
+            F.col("payload"),
+            F.lit("}}"),
+        ).alias("value")
+    ).write.text(dump)
+
+    with redirect_stdout(io.StringIO()):
+        rc = replay_cli.run(spark, [
+            "--changes", dump, "--table", str(tmp_path / "t_env"),
+            "--input-format", "debezium", "--envelope-text",
+            "--decoded-log", str(tmp_path / "decoded"),
+            "--envelope-epoch-size", str(cfg.batch_size),
+            "--num-buckets", "4", "--quiet-metrics",
+        ])
+        assert rc == 0
+        rc = replay_cli.run(spark, [
+            "--changes", canon, "--table", str(tmp_path / "t_canon"),
+            "--num-buckets", "4", "--quiet-metrics",
+        ])
+        assert rc == 0
+
+    from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
+
+    a = SnapTable(spark, str(tmp_path / "t_env")).read().select(
+        "doc_id", "tokens", "n_tok", "source")
+    b = SnapTable(spark, str(tmp_path / "t_canon")).read().select(
+        "doc_id", "tokens", "n_tok", "source")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    assert a.count() > 0
+
+
+def test_replay_cli_envelope_requires_staging(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import replay as replay_cli
+
+    with pytest.raises(SystemExit, match="decoded-log"):
+        replay_cli.run(spark, [
+            "--changes", str(tmp_path / "x"), "--table", str(tmp_path / "t"),
+            "--input-format", "debezium",
+        ])
