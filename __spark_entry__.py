@@ -795,6 +795,92 @@ def _maxwell_oracle_sql(log_path: str) -> str:
         )""")
 
 
+_RQ_ORACLE_LOG = f"{_ORACLE_TMP}/rq_log"
+
+
+def _cdc_quarantine_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter redrive lifecycle, hard-verified: replay a stream with
+    an elevated bad-typed-payload rate under a quarantine table, then
+    repair the quarantined rows (the producer fix: tokens:"oops" ->
+    tokens:[]) and requeue them via CdcPipeline.requeue_quarantine —
+    repaired winners apply under GLOBAL LWW (never stomping newer valid
+    state), still-malformed rows stay quarantined, watermark pinned. The
+    DuckDB oracle replays the log AS IF the rows had never been broken
+    (the same fix applied in SQL, then the canonical LWW replay) —
+    tests/test_quarantine_requeue.py pins the equivalent engine-vs-engine
+    property plus stale/delete/evolution edges."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        write_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="rq_entry_")
+    shutil.rmtree(_RQ_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+            p_badtype=0.05,
+            p_malformed=0.01,
+        )
+        write_changes(spark, cfg, _RQ_ORACLE_LOG)
+        pipe = CdcPipeline(
+            spark,
+            _RQ_ORACLE_LOG,
+            os.path.join(work, "table"),
+            num_buckets=8,
+            quarantine_path=os.path.join(work, "dlq"),
+        )
+        pipe.run()
+        res = pipe.requeue_quarantine(
+            lambda df: df.withColumn(
+                "payload",
+                F.regexp_replace(
+                    "payload", '"tokens":"oops"', '"tokens":[]'
+                ),
+            )
+        )
+        assert res["applied"] > 0, res  # the fixture must exercise the path
+        out = pipe.table.read().select("doc_id", "n_tok", "source")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _requeue_oracle_sql(log_path: str) -> str:
+    """The redrive end-state equals a replay of the log with the producer
+    fix applied up front: same valid/ranked algebra as _replay_oracle_sql
+    over literal-replaced payloads."""
+    return f"""
+        WITH log AS (
+          SELECT * FROM read_parquet('{log_path}/epoch=*/*.parquet')
+        ), fixed AS (
+          SELECT log_offset, op,
+                 replace(payload, '"tokens":"oops"', '"tokens":[]') AS payload
+          FROM log
+        ), valid AS (
+          SELECT log_offset, op,
+                 json_extract_string(payload, '$.doc_id') AS doc_id,
+                 CAST(json_extract_string(payload, '$.n_tok') AS INT) AS n_tok,
+                 json_extract_string(payload, '$.source') AS source
+          FROM fixed
+          WHERE json_valid(payload)
+            AND (json_type(payload, '$.tokens') IS DISTINCT FROM 'VARCHAR'
+                 OR json_valid(json_extract_string(payload, '$.tokens')))
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY log_offset DESC) AS rn
+          FROM valid WHERE doc_id IS NOT NULL
+        )
+        SELECT doc_id, n_tok, source FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
 _DML_ORACLE_LOG = f"{_ORACLE_TMP}/dml_log"
 
 
@@ -2739,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changefeed": _cdc_changefeed,
         "cdc_debezium_ingest": _cdc_debezium_ingest,
         "cdc_maxwell_ingest": _cdc_maxwell_ingest,
+        "cdc_quarantine_requeue": _cdc_quarantine_requeue,
         "cdc_dml_state": _cdc_dml_state,
         "cdc_wap_publish": _cdc_wap_publish,
         "cdc_expectations": _cdc_expectations,
@@ -2921,6 +3008,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changefeed": _changefeed_oracle_sql(_CDF_ORACLE_LOG),
         "cdc_debezium_ingest": _debezium_oracle_sql(_DBZ_ORACLE_LOG),
         "cdc_maxwell_ingest": _maxwell_oracle_sql(_MXW_ORACLE_LOG),
+        "cdc_quarantine_requeue": _requeue_oracle_sql(_RQ_ORACLE_LOG),
         "cdc_dml_state": _dml_oracle_sql(_DML_ORACLE_LOG),
         "cdc_wap_publish": _dml_oracle_sql(_WAP_ORACLE_LOG),
         "cdc_expectations": _expectations_oracle_sql(_EXP_ORACLE_LOG),

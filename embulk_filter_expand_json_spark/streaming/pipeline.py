@@ -55,6 +55,23 @@ SEQUENCES_SCHEMA = T.StructType(
 _BASE_KEYS = {"doc_id", "tokens", "n_tok", "source"}
 
 
+def _obs_row(obs) -> dict:
+    """Observation.get, tolerant of AQE empty-relation pruning. When the
+    observed stream turns out runtime-EMPTY below a shuffle (a clean epoch's
+    quarantine pass, an all-invalid epoch's post-expansion stream), AQE's
+    PropagateEmptyRelation replaces the subtree and the CollectMetrics node
+    never executes — the JVM-side metrics row is irretrievable (toPyRow
+    asserts). The only consistent reading of that state is "the observed
+    stream had zero rows", so missing metrics resolve to an empty dict and
+    callers default each field to 0."""
+    from py4j.protocol import Py4JJavaError
+
+    try:
+        return obs.get
+    except Py4JJavaError:
+        return {}
+
+
 class ExpectationFailed(RuntimeError):
     """A fail-action expectation found violating rows; the epoch was
     aborted before publish and stays replayable after the producer fix."""
@@ -425,7 +442,190 @@ class CdcPipeline:
         res = self.quarantine.merge(quar, epoch=epoch)
         if res.get("skipped") or obs is None:
             return 0
-        return obs.get["n"]
+        if res.get("buckets_touched", 0) == 0:
+            # clean epoch: zero staged rows, and AQE's empty-relation
+            # propagation may have pruned the CollectMetrics node (see
+            # _obs_row) — zero staged buckets IS the quarantine count
+            return 0
+        return _obs_row(obs).get("n") or 0
+
+    def requeue_quarantine(self, fix=None) -> dict:
+        """Dead-letter redrive: repair quarantined change records and apply
+        them to the main table under GLOBAL LWW, without touching the CDC
+        watermark (the DLQ-redrive lifecycle — Kafka Connect / Kinesis DLQ
+        parity for this engine's invalid-record channel).
+
+        ``fix``: callable ``DataFrame -> DataFrame`` over the quarantine
+        rows (canonical change shape + ``_invalid_reason``) returning the
+        repaired rows — typically a payload rewrite after a producer bug
+        fix. None = retry as-is (for rows quarantined by a since-evolved
+        schema). Rows must keep (order, op, payload).
+
+        Semantics, provably equal to "the rows had been valid all along"
+        (tests/test_quarantine_requeue.py pins this against a from-scratch
+        replay of the repaired log):
+
+        - rows still failing the ingest classifiers (same cast kernels +
+          null-merge-key check the pipeline quarantines on) STAY
+          quarantined, untouched;
+        - repaired rows are LWW-deduped among themselves, then a repaired
+          winner applies ONLY if its offset exceeds the doc's max VALID
+          offset across all COMMITTED epochs of the change log (a repaired
+          row must not stomp newer state it would have lost LWW to — and a
+          stale repaired row is exactly the row replay would have
+          discarded, so it is removed from the quarantine as done);
+        - new payload keys in repaired rows auto-evolve additively (same
+          policy as ingest) when ``auto_evolve``;
+        - the apply is a watermark-pinned conditional MERGE
+          (snaptable.merge_into, epoch=None): delete winners delete,
+          upsert winners update-or-insert; the change feed records it as
+          DML, and epoch replay/exactly-once bookkeeping is untouched;
+        - every repaired row (applied or stale) is then deleted from the
+          quarantine table, also watermark-pinned.
+
+        Scale shape: one partition-pruned-free scan of the committed log
+        (the per-doc max-valid-offset aggregate — the price of global LWW
+        correctness, paid once per redrive, not per epoch), one broadcast
+        bucket-pruned MERGE sized to the repaired set, and metadata-sized
+        driver aggregates. Counts returned: ``quarantined``, ``repaired``,
+        ``still_invalid``, ``winners``, ``applied``, ``stale``.
+        """
+        from embulk_filter_expand_json_spark.operators.expand import (
+            flag_invalid_records,
+        )
+
+        if self.quarantine is None:
+            raise ValueError("no quarantine table configured on this pipeline")
+        if not self.quarantine.exists():
+            return {
+                "quarantined": 0, "repaired": 0, "still_invalid": 0,
+                "winners": 0, "applied": 0, "stale": 0,
+            }
+
+        q = self.quarantine.read()
+        total = q.count()
+        fixed = fix(q) if fix is not None else q
+        missing = {self.order, "op", "payload"} - set(fixed.columns)
+        if missing:
+            raise ValueError(
+                f"fix() dropped required column(s): {sorted(missing)}"
+            )
+        fixed = fixed.drop("_invalid_reason")
+
+        # re-classify with the SAME kernels the ingest path quarantines on
+        extra_cols = [
+            f.name
+            for f in self.table.schema().fields
+            if f.name not in _BASE_KEYS
+        ]
+        cfg = self._expand_config(extra_cols)
+        key_path = f"$.{self.key}"
+        no_key = F.get_json_object("payload", key_path).isNull()
+        good = (
+            flag_invalid_records(fixed, cfg, mode="auto")
+            .filter(~F.col("_invalid") & ~no_key)
+            .drop("_invalid", "_invalid_reason")
+            .localCheckpoint()  # small (DLQ-sized); read many times below
+        )
+        repaired = good.count()
+
+        if repaired and self.auto_evolve:
+            new_keys = self._scan_new_keys(good)
+            if new_keys:
+                self.table.evolve_add_columns(
+                    [T.StructField(k, T.StringType(), True) for k in new_keys]
+                )
+                extra_cols = [
+                    f.name
+                    for f in self.table.schema().fields
+                    if f.name not in _BASE_KEYS
+                ]
+                cfg = self._expand_config(extra_cols)
+
+        out = {
+            "quarantined": total,
+            "repaired": repaired,
+            "still_invalid": total - repaired,
+            "winners": 0,
+            "applied": 0,
+            "stale": 0,
+        }
+        if repaired == 0:
+            return out
+
+        typed = (
+            expand_json(good, cfg, mode="auto")
+            .select(
+                F.col(self.order),
+                F.col("op"),
+                F.col(self.key),
+                F.from_json(
+                    "tokens", T.ArrayType(T.IntegerType())
+                ).alias("tokens"),
+                F.col("n_tok").cast("int").alias("n_tok"),
+                F.col("source"),
+                *[F.col(c) for c in extra_cols],
+            )
+            .filter(F.col(self.key).isNotNull())
+        )
+        deduped = lww_dedup(
+            typed, key=self.key, order=self.order, strategy=self.lww_strategy
+        )
+
+        # global-LWW guard: per-doc max VALID offset over committed epochs
+        applied_log = self._read_changes().filter(
+            F.col("epoch") <= self.last_committed_epoch()
+        )
+        applied_max = (
+            flag_invalid_records(applied_log, cfg, mode="auto")
+            .filter(
+                ~F.col("_invalid")
+                & F.get_json_object("payload", key_path).isNotNull()
+            )
+            .select(
+                F.get_json_object("payload", key_path).alias(self.key),
+                F.col(self.order),
+            )
+            .groupBy(self.key)
+            .agg(F.max(self.order).alias("__applied_off"))
+        )
+        cand = (
+            deduped.join(applied_max, on=self.key, how="left")
+            .filter(
+                F.col("__applied_off").isNull()
+                | (F.col(self.order) > F.col("__applied_off"))
+            )
+            .drop("__applied_off")
+            .localCheckpoint()  # merge_into re-reads the source per retry
+        )
+        out["winners"] = deduped.count()
+        out["applied"] = cand.count()
+        out["stale"] = out["winners"] - out["applied"]
+
+        if out["applied"]:
+            src = cand.withColumn("__del", F.col("op") == "D").drop(
+                "op", self.order
+            )
+            data_cols = [f.name for f in self.table.schema().fields]
+            self.table.merge_into(
+                src,
+                when_matched_delete_condition="s.__del",
+                when_matched_update={
+                    c: f"s.{c}" for c in data_cols if c != self.key
+                },
+                when_matched_update_condition="NOT s.__del",
+                when_not_matched_insert=True,
+                when_not_matched_condition="NOT s.__del",
+            )
+
+        # every repaired row leaves the DLQ (applied, LWW-lost within the
+        # redrive batch, or stale vs the table) — only still-invalid stay
+        self.quarantine.merge_into(
+            good.select(self.order),
+            when_matched_delete_condition="true",
+            when_not_matched_insert=False,
+        )
+        return out
 
     def _evolve(self, changes: DataFrame, m: EpochMetrics) -> None:
         new_keys = self._scan_new_keys(changes)
@@ -582,22 +782,26 @@ class CdcPipeline:
         exp_fail_holder: List[str] = []
 
         def pre_commit() -> bool:
+            # obs_in observes the raw epoch slice (never empty for a real
+            # epoch); obs_valid/obs_out sit downstream of the invalid-drop
+            # and can be runtime-empty (all-invalid epoch) — _obs_row
+            # resolves their pruned-CollectMetrics case to zero counts
             vals = obs_in.get
             if self.collect_metrics:
                 m.rows_in = vals["rows_in"]
                 m.start_offset = vals["lo"]
                 m.end_offset = vals["hi"]
-                valid = obs_valid.get["valid"]
-                out = obs_out.get
-                m.deletes = out["deletes"] or 0
-                m.upserts = (out["n_out"] or 0) - m.deletes
+                valid = _obs_row(obs_valid).get("valid") or 0
+                out = _obs_row(obs_out)
+                m.deletes = out.get("deletes") or 0
+                m.upserts = (out.get("n_out") or 0) - m.deletes
                 m.invalid = vals["rows_in"] - valid
-                m.dedup_dropped = valid - (out["n_out"] or 0)
+                m.dedup_dropped = valid - (out.get("n_out") or 0)
             if self.expectations:
-                out = obs_out.get
+                out = _obs_row(obs_out)
                 dropped = 0
                 for i, (name, _pred, action) in enumerate(self.expectations):
-                    n = out[f"exp_{i}"] or 0
+                    n = out.get(f"exp_{i}") or 0
                     m.expectation_failures[name] = n
                     if action == "fail" and n > 0:
                         exp_fail_holder.append(f"{name} ({n} rows)")

@@ -23,6 +23,9 @@ Verbs:
     vacuum [--older-than-sec S]    remove orphaned files
     delete-where --where SQL       row-level DELETE
     update-where --where SQL --set col=expr[,col=expr]   row-level UPDATE
+    requeue --changes P --quarantine P [--fix-set col=expr]   DLQ redrive
+                                   (repair + re-ingest quarantined rows
+                                   under global LWW; watermark pinned)
 
 All verbs are thin: parse, construct the session, call the one method.
 The engine ships via --py-files exactly like the replay job; maintenance
@@ -119,6 +122,17 @@ def run(spark, argv) -> int:
     u = p("update-where")
     u.add_argument("--where", required=True)
     u.add_argument("--set", required=True, dest="set_spec")
+    rq = p("requeue")
+    rq.add_argument("--changes", required=True,
+                    help="the change-log root the pipeline replays (needed "
+                    "for the global-LWW applied-offset guard)")
+    rq.add_argument("--quarantine", required=True,
+                    help="the dead-letter SnapTable path")
+    rq.add_argument("--fix-set", default=None, dest="fix_spec",
+                    help="col=expr rewrites applied to the quarantined "
+                    "rows before re-ingest (the producer fix), e.g. "
+                    "--fix-set \"payload=regexp_replace(payload, 'a', 'b')\""
+                    "; omit to retry rows as-is")
     args = ap.parse_args(argv)
 
     from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
@@ -177,6 +191,26 @@ def run(spark, argv) -> int:
         print(json.dumps(t.delete_where(args.where)))
     elif args.verb == "update-where":
         print(json.dumps(t.update_where(args.where, _parse_set(args.set_spec))))
+    elif args.verb == "requeue":
+        from pyspark.sql import functions as F
+
+        from embulk_filter_expand_json_spark.streaming.pipeline import (
+            CdcPipeline,
+        )
+
+        pipe = CdcPipeline(
+            spark, args.changes, args.table, quarantine_path=args.quarantine
+        )
+        fix = None
+        if args.fix_spec:
+            assigns = _parse_set(args.fix_spec)
+
+            def fix(df, _assigns=assigns):
+                for c, e in _assigns.items():
+                    df = df.withColumn(c, F.expr(e))
+                return df
+
+        print(json.dumps(pipe.requeue_quarantine(fix)))
     return 0
 
 

@@ -1,0 +1,252 @@
+"""Dead-letter redrive: CdcPipeline.requeue_quarantine.
+
+The contract pinned here: after a producer fix, redriving the quarantine
+must land the table in EXACTLY the state a from-scratch replay of the
+repaired log would produce — repaired rows win only where they would have
+won LWW all along, stale repairs are discarded, still-invalid rows stay
+quarantined, and the CDC watermark never moves (a redrive between two
+epochs must not make the pipeline skip source batches).
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from embulk_filter_expand_json_spark.sources.changegen import (
+    ChangeGenConfig,
+    write_changes,
+)
+from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+
+FIX_BADTYPE = lambda df: df.withColumn(  # noqa: E731 — the producer fix
+    "payload",
+    F.regexp_replace("payload", '"tokens":"oops"', '"tokens":[]'),
+)
+
+
+def _state(pipe):
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    return {
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in pipe.table.read().select(cols).collect()
+    }
+
+
+def test_requeue_matches_fixed_from_scratch_replay(spark, tmp_path):
+    cfg = ChangeGenConfig(
+        n_events=6000, n_docs=400, batch_size=1500, seed=13,
+        p_badtype=0.05, p_malformed=0.01,
+    )
+    log = str(tmp_path / "log")
+    write_changes(spark, cfg, log)
+
+    pipe = CdcPipeline(
+        spark, log, str(tmp_path / "t"), num_buckets=4,
+        quarantine_path=str(tmp_path / "dlq"),
+    )
+    pipe.run()
+    wm = pipe.last_committed_epoch()
+    res = pipe.requeue_quarantine(FIX_BADTYPE)
+
+    # oracle: replay a log whose bad-typed rows were never broken
+    fixedlog = str(tmp_path / "fixedlog")
+    FIX_BADTYPE(spark.read.parquet(log)).write.partitionBy("epoch").parquet(
+        fixedlog
+    )
+    oracle = CdcPipeline(
+        spark, fixedlog, str(tmp_path / "t2"), num_buckets=4,
+        quarantine_path=str(tmp_path / "dlq2"),
+    )
+    oracle.run()
+
+    assert _state(pipe) == _state(oracle)
+    assert pipe.last_committed_epoch() == wm  # watermark pinned
+    assert res["quarantined"] > 0 and res["repaired"] > 0
+    assert res["winners"] == res["applied"] + res["stale"]
+    # only still-invalid rows (malformed/null-key) remain in the DLQ
+    assert pipe.quarantine.read().count() == res["still_invalid"]
+    assert (
+        pipe.quarantine.read()
+        .filter(F.col("_invalid_reason") == "cast_error")
+        .count()
+        == 0
+    )
+    # a second redrive with the same fix is a no-op (idempotent lifecycle)
+    res2 = pipe.requeue_quarantine(FIX_BADTYPE)
+    assert res2["repaired"] == 0 and res2["applied"] == 0
+    assert _state(pipe) == _state(oracle)
+
+
+def _handmade_log(spark, path, rows):
+    spark.createDataFrame(
+        rows, "log_offset long, epoch long, op string, payload string"
+    ).write.partitionBy("epoch").parquet(path)
+
+
+def test_requeue_stale_rows_never_stomp_newer_state(spark, tmp_path):
+    """A repaired row older than the doc's applied valid winner must be
+    discarded (and removed from the DLQ as done); a repaired row that IS
+    the global winner applies; a repaired null-key delete deletes."""
+    rows = [
+        # doc X: bad-typed at 5, then a VALID upsert at 10 -> repair is stale
+        Row(5, 0, "U", '{"doc_id":"X","tokens":"oops","n_tok":1,"source":"a"}'),
+        Row(10, 0, "U", '{"doc_id":"X","tokens":[7],"n_tok":7,"source":"a"}'),
+        # doc Y: ONLY a bad-typed row -> repair inserts it
+        Row(7, 0, "U", '{"doc_id":"Y","tokens":"oops","n_tok":2,"source":"b"}'),
+        # doc Z: valid upsert at 1, then a null-key delete at 9 -> after the
+        # fix injects the key, the delete wins and Z disappears
+        Row(1, 0, "U", '{"doc_id":"Z","tokens":[1],"n_tok":1,"source":"c"}'),
+        Row(9, 0, "D", "{}"),
+    ]
+    log = str(tmp_path / "log")
+    _handmade_log(spark, log, rows)
+    pipe = CdcPipeline(
+        spark, log, str(tmp_path / "t"), num_buckets=2,
+        quarantine_path=str(tmp_path / "dlq"),
+    )
+    pipe.run()
+    assert {r.doc_id for r in pipe.table.read().collect()} == {"X", "Z"}
+
+    def fix(df):
+        df = FIX_BADTYPE(df)
+        return df.withColumn(
+            "payload",
+            F.when(
+                (F.col("op") == "D")
+                & F.get_json_object("payload", "$.doc_id").isNull(),
+                F.lit('{"doc_id":"Z"}'),
+            ).otherwise(F.col("payload")),
+        )
+
+    res = pipe.requeue_quarantine(fix)
+    assert res == {
+        "quarantined": 3, "repaired": 3, "still_invalid": 0,
+        "winners": 3, "applied": 2, "stale": 1,
+    }
+    got = {r.doc_id: r.n_tok for r in pipe.table.read().collect()}
+    assert got == {"X": 7, "Y": 2}  # X kept its newer state; Z deleted
+    assert pipe.quarantine.read().count() == 0
+
+
+def test_requeue_guards(spark, tmp_path):
+    rows = [Row(1, 0, "U", '{"doc_id":"A","tokens":[1],"n_tok":1,"source":"s"}')]
+    log = str(tmp_path / "log")
+    _handmade_log(spark, log, rows)
+    no_dlq = CdcPipeline(spark, log, str(tmp_path / "t0"), num_buckets=2)
+    no_dlq.run()
+    with pytest.raises(ValueError, match="quarantine"):
+        no_dlq.requeue_quarantine()
+
+    pipe = CdcPipeline(
+        spark, log, str(tmp_path / "t1"), num_buckets=2,
+        quarantine_path=str(tmp_path / "dlq"),
+    )
+    # quarantine table never materialized (no bad rows): no-op dict
+    pipe.run()
+    res = pipe.requeue_quarantine()
+    assert res["quarantined"] == 0 and res["applied"] == 0
+
+
+def test_requeue_rejects_column_dropping_fix(spark, tmp_path):
+    rows = [
+        Row(1, 0, "U", '{"doc_id":"A","tokens":"oops","n_tok":1,"source":"s"}'),
+    ]
+    log = str(tmp_path / "log")
+    _handmade_log(spark, log, rows)
+    pipe = CdcPipeline(
+        spark, log, str(tmp_path / "t"), num_buckets=2,
+        quarantine_path=str(tmp_path / "dlq"),
+    )
+    pipe.run()
+    with pytest.raises(ValueError, match="required column"):
+        pipe.requeue_quarantine(lambda df: df.drop("payload"))
+
+
+def test_requeue_evolves_new_keys_from_repair(spark, tmp_path):
+    """A repair that introduces a new payload key rides the same additive
+    schema-evolution policy as ingest."""
+    rows = [
+        Row(1, 0, "U", '{"doc_id":"A","tokens":"oops","n_tok":1,"source":"s"}'),
+    ]
+    log = str(tmp_path / "log")
+    _handmade_log(spark, log, rows)
+    pipe = CdcPipeline(
+        spark, log, str(tmp_path / "t"), num_buckets=2,
+        quarantine_path=str(tmp_path / "dlq"),
+    )
+    pipe.run()
+
+    def fix(df):
+        return df.withColumn(
+            "payload",
+            F.regexp_replace(
+                "payload", '"tokens":"oops"', '"tokens":[9],"lang":"en"'
+            ),
+        )
+
+    res = pipe.requeue_quarantine(fix)
+    assert res["applied"] == 1
+    row = pipe.table.read().collect()[0]
+    assert row.lang == "en" and row.tokens == [9]
+
+
+def test_requeue_cli_verb(spark, tmp_path):
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import maintain
+
+    rows = [
+        Row(1, 0, "U", '{"doc_id":"A","tokens":"oops","n_tok":4,"source":"s"}'),
+    ]
+    log = str(tmp_path / "log")
+    _handmade_log(spark, log, rows)
+    pipe = CdcPipeline(
+        spark, log, str(tmp_path / "t"), num_buckets=2,
+        quarantine_path=str(tmp_path / "dlq"),
+    )
+    pipe.run()
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = maintain.run(spark, [
+            "requeue", "--table", str(tmp_path / "t"),
+            "--changes", log, "--quarantine", str(tmp_path / "dlq"),
+            "--fix-set",
+            "payload=regexp_replace(payload, '\"tokens\":\"oops\"', "
+            "'\"tokens\":[]')",
+        ])
+    assert rc == 0
+    res = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["applied"] == 1
+    assert {r.doc_id for r in pipe.table.read().collect()} == {"A"}
+
+
+def test_all_invalid_epoch_replays_cleanly(spark, tmp_path):
+    """An epoch whose every row is invalid (producer meltdown) must commit
+    cleanly with zero upserts — AQE's empty-relation propagation prunes the
+    pruned-CollectMetrics observations downstream of the invalid-drop, and
+    the pipeline must read that as zero, not crash (regression: _obs_row)."""
+    rows = [
+        Row(1, 0, "U", '{"doc_id":"A","tokens":"oops","n_tok":1,"source":"s"}'),
+        Row(2, 0, "U", '{"doc_id":"B","tokens":"oops","n_tok":2,"source":"s"}'),
+        Row(3, 1, "U", '{"doc_id":"C","tokens":[3],"n_tok":3,"source":"s"}'),
+    ]
+    log = str(tmp_path / "log")
+    _handmade_log(spark, log, rows)
+    pipe = CdcPipeline(
+        spark, log, str(tmp_path / "t"), num_buckets=2,
+        quarantine_path=str(tmp_path / "dlq"),
+    )
+    metrics = pipe.run()
+    m0 = next(m for m in metrics if m.epoch == 0)
+    assert m0.invalid == 2 and m0.upserts == 0 and m0.deletes == 0
+    assert m0.quarantined == 2
+    assert {r.doc_id for r in pipe.table.read().collect()} == {"C"}
+    # and the quarantined meltdown redrives once the producer fix lands
+    res = pipe.requeue_quarantine(FIX_BADTYPE)
+    assert res["applied"] == 2
+    assert {r.doc_id for r in pipe.table.read().collect()} == {"A", "B", "C"}
