@@ -12,6 +12,12 @@ Headline queries:
 - feed_replicate: a downstream replica catching up on the table's change
   data feed (per-commit change batches -> exactly-once MERGE; replica was
   bootstrapped empty before the replay, so this is pure feed consumption).
+- scd2_history: the other feed consumer — full retained feed -> SCD Type-2
+  interval rows.
+- envelope_decode: the binlog-envelope front-end (Debezium dump -> canonical
+  changes; one codegen'd Project, the per-event cost every connector-fed
+  deployment pays before LWW/merge).
+- minhash_dedup / span_dedup: the dedup operators tracked round-over-round.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32) -> master local[N].

@@ -49,11 +49,22 @@ def run_streaming_apply(
     available_now: bool = True,
     max_files_per_trigger: Optional[int] = None,
     expectations=(),
+    input_format: str = "canonical",
+    envelope_text: bool = False,
+    envelope_value_col: str = "value",
+    maxwell_offset: str = "position",
 ):
     """Tail ``changes_path`` (parquet dir) and apply micro-batches to the
     SnapTable at ``table_path``. Returns the StreamingQuery (caller awaits
     termination). Restart-safe: source offsets live in ``checkpoint_path``,
-    and re-delivered batches are skipped by the epoch-keyed commit."""
+    and re-delivered batches are skipped by the epoch-keyed commit.
+
+    ``input_format``: ``'canonical'`` tails the engine's native change
+    parquet; ``'debezium'`` / ``'maxwell'`` tail a raw connector dump
+    (parquet with a string column, or JSONL files with ``envelope_text``)
+    and decode in-stream (sources/envelopes.py — a stateless Catalyst
+    projection, so it composes with Structured Streaming untouched; the
+    streaming batch_id is the epoch, same as the canonical tail)."""
     # reuse the batch pipeline's apply machinery; its own epoch loop is not
     # used — foreachBatch drives it with the streaming batch_id as epoch
     pipe = CdcPipeline(
@@ -72,13 +83,39 @@ def run_streaming_apply(
         expectations=expectations,
     )
 
-    reader = (
-        spark.readStream.schema(CHANGE_SCHEMA)
-        .format("parquet")
-    )
+    if input_format == "canonical":
+        reader = (
+            spark.readStream.schema(CHANGE_SCHEMA)
+            .format("parquet")
+        )
+    elif envelope_text:
+        reader = spark.readStream.format("text")
+    else:
+        reader = spark.readStream.schema(
+            f"{envelope_value_col} string"
+        ).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.load(changes_path)
+    if input_format != "canonical":
+        from embulk_filter_expand_json_spark.sources.envelopes import (
+            decode_debezium,
+            decode_maxwell,
+        )
+
+        if envelope_text and envelope_value_col != "value":
+            stream = stream.withColumnRenamed("value", envelope_value_col)
+        if input_format == "debezium":
+            stream = decode_debezium(stream, value_col=envelope_value_col)
+        elif input_format == "maxwell":
+            stream = decode_maxwell(
+                stream, value_col=envelope_value_col, offset=maxwell_offset
+            )
+        else:
+            raise ValueError(
+                "input_format must be canonical/debezium/maxwell, "
+                f"got {input_format!r}"
+            )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         try:

@@ -276,3 +276,50 @@ def test_replay_cli_envelope_requires_staging(spark, tmp_path):
             "--changes", str(tmp_path / "x"), "--table", str(tmp_path / "t"),
             "--input-format", "debezium",
         ])
+
+
+def test_streaming_debezium_tail(spark, tmp_path):
+    """Structured Streaming binlog tail over a raw Debezium JSONL dump:
+    readStream text -> in-stream decode (stateless Catalyst projection) ->
+    foreachBatch exactly-once apply. Final state equals the batch canonical
+    replay of the same stream."""
+    from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
+    from embulk_filter_expand_json_spark.streaming.stream_apply import (
+        run_streaming_apply,
+    )
+
+    cfg = ChangeGenConfig(
+        n_events=3000, n_docs=250, batch_size=750, seed=21, p_malformed=0.0
+    )
+    changes = generate_changes(spark, cfg)
+    canon = str(tmp_path / "canon")
+    changes.write.partitionBy("epoch").parquet(canon)
+    dump = str(tmp_path / "dump")
+    changes.select(
+        F.concat(
+            F.lit('{"payload":{"op":"'),
+            F.when(F.col("op") == "D", F.lit("d")).otherwise(F.lit("u")),
+            F.lit('","source":{"lsn":'),
+            F.col("log_offset").cast("string"),
+            F.lit("},"),
+            F.when(F.col("op") == "D", F.lit('"before":')).otherwise(
+                F.lit('"after":')
+            ),
+            F.col("payload"),
+            F.lit("}}"),
+        ).alias("value")
+    ).write.text(dump)
+
+    q = run_streaming_apply(
+        spark, dump, str(tmp_path / "t_stream"), str(tmp_path / "ckpt"),
+        num_buckets=4, input_format="debezium", envelope_text=True,
+    )
+    assert q.awaitTermination(300)
+
+    batch = CdcPipeline(spark, canon, str(tmp_path / "t_batch"), num_buckets=4)
+    batch.run()
+    a = SnapTable(spark, str(tmp_path / "t_stream")).read().select(
+        "doc_id", "tokens", "n_tok", "source")
+    b = batch.table.read().select("doc_id", "tokens", "n_tok", "source")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    assert a.count() > 0
