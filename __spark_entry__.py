@@ -798,6 +798,131 @@ def _maxwell_oracle_sql(log_path: str) -> str:
 _RQ_ORACLE_LOG = f"{_ORACLE_TMP}/rq_log"
 
 
+_CNL_ORACLE_LOG = f"{_ORACLE_TMP}/cnl_log"
+
+
+def _cdc_canal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal FlatMessage front-end (batched rows per envelope — the decode
+    shape Debezium/Maxwell don't exercise), hard-verified: the synthetic
+    stream is grouped into Canal envelopes (one per (8-offset window, op);
+    es = window id, id = op code, data = offset-sorted payload batch),
+    decoded by the Spark-4 Variant unnest kernel and replayed through
+    CdcPipeline; the DuckDB oracle unnests the SAME raw envelopes with its
+    own lateral range(json_array_length) and re-derives the identical
+    (es, id, pos) offset pack in SQL before replaying LWW. The enveloping
+    deliberately reorders LWW (the pack, not the original offset, is the
+    order key) — both sides compute the same well-defined winner set; tie
+    impossibility is structural (unique (es,id,pos) per row)."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        generate_changes,
+    )
+    from embulk_filter_expand_json_spark.sources.envelopes import (
+        decode_canal,
+        write_envelope_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="cnl_entry_")
+    shutil.rmtree(_CNL_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+            p_malformed=0.0,
+        )
+        changes = generate_changes(spark, cfg)
+        opcode = (
+            F.when(F.col("op") == "I", F.lit(0))
+            .when(F.col("op") == "U", F.lit(1))
+            .otherwise(F.lit(2))
+        )
+        canal_type = (
+            F.when(F.col("op") == "I", F.lit("INSERT"))
+            .when(F.col("op") == "U", F.lit("UPDATE"))
+            .otherwise(F.lit("DELETE"))
+        )
+        env = (
+            changes.groupBy(
+                F.floor(F.col("log_offset") / 8).alias("__g"),
+                canal_type.alias("__t"),
+                opcode.alias("__c"),
+            )
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("log_offset", "payload")
+                            )
+                        ),
+                        lambda x: x.payload,
+                    ),
+                    ",",
+                ).alias("__rows")
+            )
+            .select(
+                F.concat(
+                    F.lit('{"type":"'),
+                    F.col("__t"),
+                    F.lit('","isDdl":false,"es":'),
+                    F.col("__g").cast("string"),
+                    F.lit(',"id":'),
+                    F.col("__c").cast("string"),
+                    F.lit(',"data":['),
+                    F.col("__rows"),
+                    F.lit("]}"),
+                ).alias("value")
+            )
+        )
+        env.write.mode("overwrite").parquet(_CNL_ORACLE_LOG)
+        # epoch: all rows of window g came from original offsets [8g, 8g+8),
+        # so floor(g*8/batch) is a deterministic ascending epoching (LWW is
+        # global — epoch grouping affects replay batching only)
+        decoded = decode_canal(
+            spark.read.parquet(_CNL_ORACLE_LOG),
+            epoch_expr=F.floor(
+                (F.col("log_offset") / F.lit(4194304)).cast("long")
+                * 8
+                / F.lit(cfg.batch_size)
+            ),
+        )
+        log = os.path.join(work, "log")
+        write_envelope_changes(decoded, log)
+        pipe = CdcPipeline(spark, log, os.path.join(work, "table"), num_buckets=8)
+        pipe.run()
+        out = pipe.table.read().select("doc_id", "n_tok", "source")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _canal_oracle_sql(log_path: str) -> str:
+    return _envelope_replay_oracle_sql(f"""
+        env AS (
+          SELECT * FROM read_parquet('{log_path}/*.parquet')
+        ), dec AS (
+          SELECT
+            CAST(json_extract_string(value, '$.es') AS BIGINT) * 4194304
+              + (CAST(json_extract_string(value, '$.id') AS BIGINT) % 4096)
+                * 1024
+              + (i % 1024) AS log_offset,
+            CASE json_extract_string(value, '$.type')
+              WHEN 'INSERT' THEN 'I' WHEN 'UPDATE' THEN 'U'
+              WHEN 'DELETE' THEN 'D' END AS op,
+            json_extract(value, '$.data[' || i || ']') AS payload
+          FROM env, LATERAL (
+            SELECT unnest(range(CAST(
+              json_array_length(value, '$.data') AS BIGINT))) AS i
+          ) t
+          WHERE value IS NOT NULL
+        )""")
+
+
 def _cdc_quarantine_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter redrive lifecycle, hard-verified: replay a stream with
     an elevated bad-typed-payload rate under a quarantine table, then
@@ -2825,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changefeed": _cdc_changefeed,
         "cdc_debezium_ingest": _cdc_debezium_ingest,
         "cdc_maxwell_ingest": _cdc_maxwell_ingest,
+        "cdc_canal_ingest": _cdc_canal_ingest,
         "cdc_quarantine_requeue": _cdc_quarantine_requeue,
         "cdc_dml_state": _cdc_dml_state,
         "cdc_wap_publish": _cdc_wap_publish,
@@ -3008,6 +3134,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changefeed": _changefeed_oracle_sql(_CDF_ORACLE_LOG),
         "cdc_debezium_ingest": _debezium_oracle_sql(_DBZ_ORACLE_LOG),
         "cdc_maxwell_ingest": _maxwell_oracle_sql(_MXW_ORACLE_LOG),
+        "cdc_canal_ingest": _canal_oracle_sql(_CNL_ORACLE_LOG),
         "cdc_quarantine_requeue": _requeue_oracle_sql(_RQ_ORACLE_LOG),
         "cdc_dml_state": _dml_oracle_sql(_DML_ORACLE_LOG),
         "cdc_wap_publish": _dml_oracle_sql(_WAP_ORACLE_LOG),

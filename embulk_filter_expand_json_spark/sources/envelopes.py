@@ -229,6 +229,84 @@ def decode_maxwell(
     return _with_epoch(out, epoch_size, epoch_expr)
 
 
+#: Canal FlatMessage type -> canonical. Row-less DDL/control messages are
+#: excluded structurally (isDdl flag / null data), not by this map.
+_CANAL_OPS = {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}
+
+
+def decode_canal(
+    df: DataFrame,
+    value_col: str = "value",
+    on_unknown: str = "error",
+    epoch_size: Optional[int] = None,
+    epoch_expr: Optional[Column] = None,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Canal FlatMessage envelopes -> (log_offset, [epoch,] op, payload).
+
+    Canal (Alibaba's MySQL binlog tail) batches MANY rows per envelope:
+    ``{"type": "INSERT|UPDATE|DELETE", "isDdl": false, "es": <binlog event
+    ms>, "id": <batch id>, "data": [{row}...], "old": [...]}`` — so unlike
+    the Debezium/Maxwell decoders this one UNNESTS. The Spark-4 Variant
+    kernel keeps it JVM-side: ``parse_json`` -> binary variant,
+    ``variant_get($.data, array<variant>)`` -> ``posexplode`` ->
+    ``to_json`` re-emits each row's exact JSON text — one codegen'd
+    generate stage, zero Python, no schema declared up front.
+
+    Row semantics: DELETE envelopes carry the deleted rows in ``data``
+    (key extraction downstream unchanged); DDL messages (``isDdl`` true)
+    and row-less envelopes (null/empty ``data`` — heartbeats) never yield
+    rows; NULL values (compaction tombstones) are dropped; an unknown
+    row-bearing type follows ``on_unknown`` (error/drop/keep — the error
+    raise rides the op column, which the output filter always evaluates,
+    so a malformed envelope aborts even though its payload is NULL).
+
+    Offset synthesis: FlatMessage has no binlog file:pos, so the order key
+    packs ``es * 2^22 + (id % 2^12) * 2^10 + pos_in_batch`` — binlog event
+    time (ms, non-decreasing) ties broken by the increasing batch id, then
+    by row position. Bounds documented: batches <= 1024 rows and <= 4096
+    batches per millisecond keep the pack collision-free; both are far
+    above Canal's defaults (memunit batch sizes, ms-granularity es).
+    """
+    v = F.try_parse_json(F.col(value_col))
+    raw_op = F.try_variant_get(v, "$.type", "string")
+    is_ddl = F.coalesce(
+        F.try_variant_get(v, "$.isDdl", "boolean"), F.lit(False)
+    )
+    es = F.try_variant_get(v, "$.es", "long")
+    batch_id = F.try_variant_get(v, "$.id", "long")
+    op = _normalize_op(raw_op, _CANAL_OPS, on_unknown, "canal")
+    rows = F.try_variant_get(v, "$.data", "array<variant>")
+    exploded = (
+        df.where(F.col(value_col).isNotNull())  # tombstones
+        .where(~is_ddl)
+        .select(
+            op.alias("op"),
+            es.alias("__es"),
+            batch_id.alias("__id"),
+            F.posexplode_outer(rows).alias("__pos", "__row"),
+            *[F.col(c) for c in extra_cols],
+        )
+    )
+    out = exploded.select(
+        (
+            F.col("__es") * F.lit(4194304)
+            + F.pmod(F.col("__id"), F.lit(4096)) * F.lit(1024)
+            + F.pmod(F.col("__pos"), F.lit(1024))
+        ).alias("log_offset"),
+        F.col("op"),
+        F.to_json("__row").alias("payload"),
+        *[F.col(c) for c in extra_cols],
+    )
+    # op first: under on_unknown='error' this forces the CASE (and its
+    # raise) to evaluate for malformed envelopes whose payload is NULL
+    out = out.where(
+        (F.col("op").isNotNull() | F.lit(on_unknown == "keep"))
+        & F.col("payload").isNotNull()
+    )
+    return _with_epoch(out, epoch_size, epoch_expr)
+
+
 def write_envelope_changes(decoded: DataFrame, path: str) -> None:
     """Materialize a decoded envelope stream as a canonical change log
     (epoch-partitioned parquet — the layout CdcPipeline partition-prunes

@@ -99,6 +99,7 @@ def run_streaming_apply(
     stream = reader.load(changes_path)
     if input_format != "canonical":
         from embulk_filter_expand_json_spark.sources.envelopes import (
+            decode_canal,
             decode_debezium,
             decode_maxwell,
         )
@@ -111,9 +112,11 @@ def run_streaming_apply(
             stream = decode_maxwell(
                 stream, value_col=envelope_value_col, offset=maxwell_offset
             )
+        elif input_format == "canal":
+            stream = decode_canal(stream, value_col=envelope_value_col)
         else:
             raise ValueError(
-                "input_format must be canonical/debezium/maxwell, "
+                "input_format must be canonical/debezium/maxwell/canal, "
                 f"got {input_format!r}"
             )
 

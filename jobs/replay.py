@@ -32,13 +32,14 @@ def run(spark, argv) -> int:
     ap.add_argument(
         "--input-format",
         default="canonical",
-        choices=["canonical", "debezium", "maxwell"],
+        choices=["canonical", "debezium", "maxwell", "canal"],
         help="'canonical' reads --changes as the engine's native "
         "(log_offset, epoch, op, payload) parquet log; 'debezium' / "
-        "'maxwell' read raw connector envelope dumps (parquet with a "
-        "string column, or JSONL with --envelope-text), decode them "
-        "(sources/envelopes.py, pure-Catalyst projection) and stage a "
-        "canonical log at --decoded-log before the replay",
+        "'maxwell' / 'canal' read raw connector envelope dumps (parquet "
+        "with a string column, or JSONL with --envelope-text), decode "
+        "them (sources/envelopes.py, pure-Catalyst projection — canal "
+        "unnests its per-envelope row batches via the Variant kernel) "
+        "and stage a canonical log at --decoded-log before the replay",
     )
     ap.add_argument(
         "--decoded-log",
@@ -149,6 +150,7 @@ def run(spark, argv) -> int:
                 f"for --input-format {args.input_format}"
             )
         from embulk_filter_expand_json_spark.sources.envelopes import (
+            decode_canal,
             decode_debezium,
             decode_maxwell,
             write_envelope_changes,
@@ -162,6 +164,12 @@ def run(spark, argv) -> int:
             raw = spark.read.parquet(args.changes)
         if args.input_format == "debezium":
             decoded = decode_debezium(
+                raw,
+                value_col=args.envelope_value_col,
+                epoch_size=args.envelope_epoch_size,
+            )
+        elif args.input_format == "canal":
+            decoded = decode_canal(
                 raw,
                 value_col=args.envelope_value_col,
                 epoch_size=args.envelope_epoch_size,

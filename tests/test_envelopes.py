@@ -323,3 +323,60 @@ def test_streaming_debezium_tail(spark, tmp_path):
     b = batch.table.read().select("doc_id", "tokens", "n_tok", "source")
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
     assert a.count() > 0
+
+
+def _cnl(typ, data=None, es=None, bid=None, is_ddl=False, sql=None):
+    d = {"type": typ, "isDdl": is_ddl, "es": es, "id": bid,
+         "data": data, "sql": sql}
+    return json.dumps({k: v for k, v in d.items() if v is not None})
+
+
+def test_canal_batch_unnest_and_offsets(spark):
+    from embulk_filter_expand_json_spark.sources.envelopes import decode_canal
+
+    rows = [
+        Row(value=_cnl("INSERT", data=[{"doc_id": "a", "n": 1},
+                                       {"doc_id": "b", "n": 2}],
+                       es=1000, bid=1)),
+        Row(value=_cnl("UPDATE", data=[{"doc_id": "a", "n": 3}],
+                       es=1001, bid=2)),
+        Row(value=_cnl("DELETE", data=[{"doc_id": "b", "n": 2}],
+                       es=1002, bid=3)),
+        # DDL and row-less control envelopes never yield rows
+        Row(value=_cnl("CREATE", es=1003, bid=4, is_ddl=True,
+                       sql="create table t(i int)")),
+        Row(value=_cnl("INSERT", es=1004, bid=5)),  # heartbeat: no data
+        Row(value=None),  # tombstone
+    ]
+    out = decode_canal(spark.createDataFrame(rows, "value string"))
+    got = sorted((r.log_offset, r.op, json.loads(r.payload)["doc_id"])
+                 for r in out.collect())
+    assert [o for _, o, _ in got] == ["I", "I", "U", "D"]
+    assert [d for _, _, d in got] == ["a", "b", "a", "b"]
+    offs = [o for o, _, _ in got]
+    assert offs == sorted(offs) and len(set(offs)) == 4
+    # within-batch position breaks ties under the same (es, id)
+    assert got[1][0] == got[0][0] + 1
+
+
+def test_canal_unknown_and_malformed_policies(spark):
+    from embulk_filter_expand_json_spark.sources.envelopes import decode_canal
+
+    df = spark.createDataFrame(
+        [Row(value=_cnl("INSERT", data=[{"k": 1}], es=1, bid=1)),
+         Row(value=_cnl("TRUNCATE", data=[{"k": 2}], es=2, bid=2))],
+        "value string",
+    )
+    with pytest.raises(Exception, match="unknown canal op: TRUNCATE"):
+        decode_canal(df).collect()
+    kept = decode_canal(df, on_unknown="drop").collect()
+    assert [r.op for r in kept] == ["I"]
+    raw = decode_canal(df, on_unknown="keep").orderBy("log_offset").collect()
+    assert [r.op for r in raw] == ["I", "TRUNCATE"]
+
+    bad = spark.createDataFrame(
+        [Row(value='{"type":"INSERT","es":1,"id"')], "value string"
+    )
+    with pytest.raises(Exception, match="unknown canal op"):
+        decode_canal(bad).collect()
+    assert decode_canal(bad, on_unknown="drop").count() == 0
