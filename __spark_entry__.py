@@ -923,6 +923,175 @@ def _canal_oracle_sql(log_path: str) -> str:
         )""")
 
 
+_W2J_ORACLE_LOG = f"{_ORACLE_TMP}/w2j_log"
+
+
+def _cdc_wal2json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wal2json front-end (Postgres logical decoding: transaction messages
+    with parallel-array rows), hard-verified: the stream is grouped into
+    wal2json v1 messages (one per (8-offset window, op); nextlsn = hex of
+    the unique (window*4+opcode) id; upserts as columnnames/columnvalues
+    in changegen's fixed key order, deletes as oldkeys), decoded by the
+    zip_with row-rebuild kernel and replayed; the DuckDB oracle unnests
+    the SAME raw messages (lateral range over json_array_length), parses
+    the hex LSN with CAST('0x..'), re-derives the identical offset pack,
+    and replays LWW positionally. p_badtype/p_malformed = 0 here — the
+    invalid channel is covered by the other three envelope queries; this
+    fixture isolates envelope fidelity (array zip, LSN math, delete
+    keys)."""
+    from embulk_filter_expand_json_spark.sources.changegen import (
+        ChangeGenConfig,
+        generate_changes,
+    )
+    from embulk_filter_expand_json_spark.sources.envelopes import (
+        decode_wal2json,
+        write_envelope_changes,
+    )
+    from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
+
+    n_events = max(_events(spark, sf_dir).count() * 2, 2_000)
+    work = tempfile.mkdtemp(prefix="w2j_entry_")
+    shutil.rmtree(_W2J_ORACLE_LOG, ignore_errors=True)
+    try:
+        cfg = ChangeGenConfig(
+            n_events=n_events,
+            n_docs=max(n_events // 20, 50),
+            batch_size=max(n_events // 4, 500),
+            seed=42,
+            p_malformed=0.0,
+            p_badtype=0.0,
+        )
+        changes = generate_changes(spark, cfg)
+        j = lambda p: F.get_json_object("payload", p)  # noqa: E731
+        has_lang = j("$.lang").isNotNull()
+        upsert_entry = F.concat(
+            F.lit('{"kind":"'),
+            F.when(F.col("op") == "I", F.lit("insert")).otherwise(
+                F.lit("update")
+            ),
+            F.lit('","columnnames":'),
+            F.when(
+                has_lang,
+                F.lit('["doc_id","tokens","n_tok","source","lang"]'),
+            ).otherwise(F.lit('["doc_id","tokens","n_tok","source"]')),
+            F.lit(',"columnvalues":["'),
+            j("$.doc_id"),
+            F.lit('",'),
+            j("$.tokens"),
+            F.lit(","),
+            j("$.n_tok"),
+            F.lit(',"'),
+            j("$.source"),
+            F.lit('"'),
+            F.when(
+                has_lang, F.concat(F.lit(',"'), j("$.lang"), F.lit('"'))
+            ).otherwise(F.lit("")),
+            F.lit("]}"),
+        )
+        delete_entry = F.concat(
+            F.lit('{"kind":"delete","oldkeys":{"keynames":["doc_id"],'
+                  '"keyvalues":["'),
+            j("$.doc_id"),
+            F.lit('"]}}'),
+        )
+        entry = F.when(F.col("op") == "D", delete_entry).otherwise(
+            upsert_entry
+        )
+        opcode = (
+            F.when(F.col("op") == "I", F.lit(0))
+            .when(F.col("op") == "U", F.lit(1))
+            .otherwise(F.lit(2))
+        )
+        env = (
+            changes.select(
+                F.floor(F.col("log_offset") / 8).alias("__g"),
+                opcode.alias("__c"),
+                F.struct("log_offset", entry.alias("e")).alias("__s"),
+            )
+            .groupBy("__g", "__c")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("__s")), lambda x: x.e
+                    ),
+                    ",",
+                ).alias("__rows")
+            )
+            .select(
+                F.concat(
+                    F.lit('{"change":['),
+                    F.col("__rows"),
+                    F.lit('],"nextlsn":"0/'),
+                    F.hex(F.col("__g") * 4 + F.col("__c")),
+                    F.lit('"}'),
+                ).alias("value")
+            )
+        )
+        env.write.mode("overwrite").parquet(_W2J_ORACLE_LOG)
+        decoded = decode_wal2json(
+            spark.read.parquet(_W2J_ORACLE_LOG),
+            # offset = (g*4+c)*1024 + pos -> g = offset div 4096; the
+            # window's rows came from original offsets [8g, 8g+8)
+            epoch_expr=F.floor(
+                F.floor(F.col("log_offset") / F.lit(4096))
+                * 8
+                / F.lit(cfg.batch_size)
+            ),
+        )
+        log = os.path.join(work, "log")
+        write_envelope_changes(decoded, log)
+        pipe = CdcPipeline(spark, log, os.path.join(work, "table"), num_buckets=8)
+        pipe.run()
+        out = pipe.table.read().select("doc_id", "n_tok", "source")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _wal2json_oracle_sql(log_path: str) -> str:
+    """Positional replay of the raw wal2json messages: hex LSN via
+    CAST('0x..' AS BIGINT), rows unnested laterally, doc_id/n_tok/source
+    read positionally (changegen's fixed column order), deletes from
+    oldkeys."""
+    return f"""
+        WITH env AS (
+          SELECT * FROM read_parquet('{log_path}/*.parquet')
+        ), dec AS (
+          SELECT
+            (CAST('0x' || split_part(
+                 json_extract_string(value, '$.nextlsn'), '/', 1)
+               AS BIGINT) * 4294967296
+             + CAST('0x' || split_part(
+                 json_extract_string(value, '$.nextlsn'), '/', 2)
+               AS BIGINT)) * 1024 + (i % 1024) AS log_offset,
+            CASE json_extract_string(value, '$.change[' || i || '].kind')
+              WHEN 'insert' THEN 'I' WHEN 'update' THEN 'U'
+              WHEN 'delete' THEN 'D' END AS op,
+            CASE WHEN json_extract_string(
+                   value, '$.change[' || i || '].kind') = 'delete'
+              THEN json_extract_string(value,
+                   '$.change[' || i || '].oldkeys.keyvalues[0]')
+              ELSE json_extract_string(value,
+                   '$.change[' || i || '].columnvalues[0]') END AS doc_id,
+            CAST(json_extract_string(value,
+                 '$.change[' || i || '].columnvalues[2]') AS INT) AS n_tok,
+            json_extract_string(value,
+                 '$.change[' || i || '].columnvalues[3]') AS source
+          FROM env, LATERAL (
+            SELECT unnest(range(CAST(
+              json_array_length(value, '$.change') AS BIGINT))) AS i
+          ) t
+          WHERE value IS NOT NULL
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY log_offset DESC) AS rn
+          FROM dec WHERE doc_id IS NOT NULL
+        )
+        SELECT doc_id, n_tok, source FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
 def _cdc_quarantine_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter redrive lifecycle, hard-verified: replay a stream with
     an elevated bad-typed-payload rate under a quarantine table, then
@@ -2951,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_ingest": _cdc_debezium_ingest,
         "cdc_maxwell_ingest": _cdc_maxwell_ingest,
         "cdc_canal_ingest": _cdc_canal_ingest,
+        "cdc_wal2json_ingest": _cdc_wal2json_ingest,
         "cdc_quarantine_requeue": _cdc_quarantine_requeue,
         "cdc_dml_state": _cdc_dml_state,
         "cdc_wap_publish": _cdc_wap_publish,
@@ -3135,6 +3305,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_debezium_ingest": _debezium_oracle_sql(_DBZ_ORACLE_LOG),
         "cdc_maxwell_ingest": _maxwell_oracle_sql(_MXW_ORACLE_LOG),
         "cdc_canal_ingest": _canal_oracle_sql(_CNL_ORACLE_LOG),
+        "cdc_wal2json_ingest": _wal2json_oracle_sql(_W2J_ORACLE_LOG),
         "cdc_quarantine_requeue": _requeue_oracle_sql(_RQ_ORACLE_LOG),
         "cdc_dml_state": _dml_oracle_sql(_DML_ORACLE_LOG),
         "cdc_wap_publish": _dml_oracle_sql(_WAP_ORACLE_LOG),

@@ -307,6 +307,108 @@ def decode_canal(
     return _with_epoch(out, epoch_size, epoch_expr)
 
 
+#: wal2json kind -> canonical. 'message' (pg_logical_emit_message) is a
+#: non-row control entry, excluded structurally; 'truncate' follows policy.
+_WAL2JSON_OPS = {"insert": "I", "update": "U", "delete": "D"}
+
+
+def _lsn_to_long(lsn: Column) -> Column:
+    """Postgres LSN text (``"16/B374D848"``, two hex words) -> one long:
+    hi * 2^32 + lo = the WAL byte position, already totally ordered."""
+    hi = F.conv(F.split(lsn, "/").getItem(0), 16, 10).cast("long")
+    lo = F.conv(F.split(lsn, "/").getItem(1), 16, 10).cast("long")
+    return hi * F.lit(4294967296) + lo
+
+
+def decode_wal2json(
+    df: DataFrame,
+    value_col: str = "value",
+    on_unknown: str = "error",
+    epoch_size: Optional[int] = None,
+    epoch_expr: Optional[Column] = None,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """wal2json (Postgres logical decoding, format v1) -> canonical changes.
+
+    The fourth decode shape: one message per TRANSACTION with a ``change``
+    array, each change carrying the row as PARALLEL ARRAYS
+    (``columnnames`` / ``columnvalues``; deletes ship ``oldkeys.keynames``
+    / ``keyvalues`` instead). The Variant kernel unnests the transaction
+    (``posexplode_outer`` over ``$.change``) and ``zip_with`` rebuilds
+    each row's JSON document from the name/value pairs (values re-emitted
+    via ``to_json`` so nested types — the tokens array — survive exactly;
+    names minimally escaped). All JVM, zero Python, one generate stage.
+
+    Offset: ``nextlsn`` (requires wal2json's ``include-lsn``) parsed from
+    the two-hex-word form to the WAL byte position, ``* 2^10 + pos``
+    within the transaction — collision-free while the WAL position stays
+    below 2^53 bytes (~9 PB of WAL) and transactions stay under 1024 row
+    changes per message (wal2json splits large transactions across
+    messages with ``write-in-chunks``; for bigger monoliths use a
+    transaction-id offset scheme instead). 'message' entries (logical
+    messages, not row changes) never yield rows; 'truncate' follows
+    ``on_unknown``.
+    """
+    v = F.try_parse_json(F.col(value_col))
+    lsn = _lsn_to_long(F.try_variant_get(v, "$.nextlsn", "string"))
+    changes = F.try_variant_get(v, "$.change", "array<variant>")
+    exploded = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            lsn.alias("__lsn"),
+            F.posexplode_outer(changes).alias("__pos", "__ch"),
+            *[F.col(c) for c in extra_cols],
+        )
+        .where(
+            F.coalesce(
+                F.try_variant_get(F.col("__ch"), "$.kind", "string"),
+                F.lit(""),
+            )
+            != F.lit("message")
+        )
+    )
+    ch = F.col("__ch")
+    raw_op = F.try_variant_get(ch, "$.kind", "string")
+    op = _normalize_op(raw_op, _WAL2JSON_OPS, on_unknown, "wal2json")
+    is_del = raw_op == F.lit("delete")
+    names = F.when(
+        is_del, F.try_variant_get(ch, "$.oldkeys.keynames", "array<string>")
+    ).otherwise(F.try_variant_get(ch, "$.columnnames", "array<string>"))
+    vals = F.when(
+        is_del, F.try_variant_get(ch, "$.oldkeys.keyvalues", "array<variant>")
+    ).otherwise(F.try_variant_get(ch, "$.columnvalues", "array<variant>"))
+    payload = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.zip_with(
+                names,
+                vals,
+                lambda n, val: F.concat(
+                    F.lit('"'),
+                    F.regexp_replace(n, r'(["\\])', r"\\$1"),
+                    F.lit('":'),
+                    F.to_json(val),
+                ),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+    out = exploded.select(
+        (
+            F.col("__lsn") * F.lit(1024) + F.pmod(F.col("__pos"), F.lit(1024))
+        ).alias("log_offset"),
+        op.alias("op"),
+        payload.alias("payload"),
+        *[F.col(c) for c in extra_cols],
+    )
+    out = out.where(
+        (F.col("op").isNotNull() | F.lit(on_unknown == "keep"))
+        & F.col("payload").isNotNull()
+    )
+    return _with_epoch(out, epoch_size, epoch_expr)
+
+
 def write_envelope_changes(decoded: DataFrame, path: str) -> None:
     """Materialize a decoded envelope stream as a canonical change log
     (epoch-partitioned parquet — the layout CdcPipeline partition-prunes

@@ -102,6 +102,7 @@ def run_streaming_apply(
             decode_canal,
             decode_debezium,
             decode_maxwell,
+            decode_wal2json,
         )
 
         if envelope_text and envelope_value_col != "value":
@@ -114,9 +115,11 @@ def run_streaming_apply(
             )
         elif input_format == "canal":
             stream = decode_canal(stream, value_col=envelope_value_col)
+        elif input_format == "wal2json":
+            stream = decode_wal2json(stream, value_col=envelope_value_col)
         else:
             raise ValueError(
-                "input_format must be canonical/debezium/maxwell/canal, "
+                "input_format must be canonical/debezium/maxwell/canal/wal2json, "
                 f"got {input_format!r}"
             )
 

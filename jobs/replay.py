@@ -6,8 +6,8 @@
         --changes /path/to/changelog --table /path/to/table \
         [--max-epochs N] [--strategy agg|window|salted] [--num-buckets 64]
 
-Raw connector dumps replay directly: --input-format debezium|maxwell
-decodes a Debezium/Maxwell envelope dump (parquet string column, or
+Raw connector dumps replay directly: --input-format
+debezium|maxwell|canal|wal2json decodes a connector envelope dump (parquet string column, or
 JSONL with --envelope-text) into a canonical change log staged at
 --decoded-log, then replays it — the full binlog-tail deployment in one
 spark-submit.
@@ -32,7 +32,7 @@ def run(spark, argv) -> int:
     ap.add_argument(
         "--input-format",
         default="canonical",
-        choices=["canonical", "debezium", "maxwell", "canal"],
+        choices=["canonical", "debezium", "maxwell", "canal", "wal2json"],
         help="'canonical' reads --changes as the engine's native "
         "(log_offset, epoch, op, payload) parquet log; 'debezium' / "
         "'maxwell' / 'canal' read raw connector envelope dumps (parquet "
@@ -153,6 +153,7 @@ def run(spark, argv) -> int:
             decode_canal,
             decode_debezium,
             decode_maxwell,
+            decode_wal2json,
             write_envelope_changes,
         )
 
@@ -170,6 +171,12 @@ def run(spark, argv) -> int:
             )
         elif args.input_format == "canal":
             decoded = decode_canal(
+                raw,
+                value_col=args.envelope_value_col,
+                epoch_size=args.envelope_epoch_size,
+            )
+        elif args.input_format == "wal2json":
+            decoded = decode_wal2json(
                 raw,
                 value_col=args.envelope_value_col,
                 epoch_size=args.envelope_epoch_size,

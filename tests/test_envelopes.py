@@ -380,3 +380,64 @@ def test_canal_unknown_and_malformed_policies(spark):
     with pytest.raises(Exception, match="unknown canal op"):
         decode_canal(bad).collect()
     assert decode_canal(bad, on_unknown="drop").count() == 0
+
+
+def _w2j(changes, nextlsn=None):
+    d = {"change": changes}
+    if nextlsn is not None:
+        d["nextlsn"] = nextlsn
+    return json.dumps(d)
+
+
+def test_wal2json_parallel_arrays_and_lsn(spark):
+    from embulk_filter_expand_json_spark.sources.envelopes import (
+        decode_wal2json,
+    )
+
+    rows = [
+        Row(value=_w2j([
+            {"kind": "insert", "schema": "p", "table": "t",
+             "columnnames": ["doc_id", "tokens", "n_tok"],
+             "columntypes": ["text", "jsonb", "integer"],
+             "columnvalues": ["a", [1, 2], 2]},
+            {"kind": "update",
+             "columnnames": ["doc_id", "tokens", "n_tok"],
+             "columnvalues": ["a", [3], 1],
+             "oldkeys": {"keynames": ["doc_id"], "keyvalues": ["a"]}},
+        ], nextlsn="0/1A")),
+        Row(value=_w2j([
+            {"kind": "delete",
+             "oldkeys": {"keynames": ["doc_id"], "keyvalues": ["a"]}},
+            {"kind": "message", "prefix": "x", "content": "y"},
+        ], nextlsn="1/0")),
+        Row(value=None),
+    ]
+    out = decode_wal2json(spark.createDataFrame(rows, "value string"))
+    got = sorted((r.log_offset, r.op, r.payload) for r in out.collect())
+    assert [(o, op) for o, op, _ in got] == [
+        (26 * 1024 + 0, "I"), (26 * 1024 + 1, "U"),
+        (4294967296 * 1024 + 0, "D"),
+    ]
+    assert json.loads(got[0][2]) == {"doc_id": "a", "tokens": [1, 2], "n_tok": 2}
+    assert json.loads(got[1][2]) == {"doc_id": "a", "tokens": [3], "n_tok": 1}
+    assert json.loads(got[2][2]) == {"doc_id": "a"}  # delete = oldkeys image
+
+
+def test_wal2json_policies_and_escaping(spark):
+    from embulk_filter_expand_json_spark.sources.envelopes import (
+        decode_wal2json,
+    )
+
+    df = spark.createDataFrame(
+        [Row(value=_w2j([
+            {"kind": "truncate", "schema": "p", "table": "t"},
+            {"kind": "insert", "columnnames": ['we"ird'],
+             "columnvalues": ["v"]},
+        ], nextlsn="0/2"))],
+        "value string",
+    )
+    with pytest.raises(Exception, match="unknown wal2json op: truncate"):
+        decode_wal2json(df).collect()
+    kept = decode_wal2json(df, on_unknown="drop").collect()
+    assert len(kept) == 1
+    assert json.loads(kept[0].payload) == {'we"ird': "v"}
