@@ -91,6 +91,29 @@ def _normalize_op(raw: Column, mapping: dict, on_unknown: str, fmt: str) -> Colu
     return expr
 
 
+def _guard_offset(off: Column, on_unknown: str, fmt: str) -> Column:
+    """A NULL order key silently corrupts LWW ordering and epoch
+    partitioning downstream, so it is a data-quality event like an unknown
+    op: under ``error`` the decode aborts on the first row whose offset
+    fields are absent/non-numeric (Maxwell bootstrap rows without
+    ``position``/``xid``, wal2json dumps produced without ``include-lsn``,
+    Debezium envelopes missing every offset path); under ``drop``/``keep``
+    the NULL flows to the shared output filter (dropped with the row /
+    kept for a custom policy)."""
+    if on_unknown != "error":
+        return off
+    return F.when(
+        off.isNull(),
+        F.raise_error(
+            F.lit(
+                f"{fmt} envelope yields a NULL log_offset (offset fields "
+                "absent or non-numeric) — fix the producer/dump or decode "
+                "with on_unknown='drop'"
+            )
+        ).cast("long"),
+    ).otherwise(off)
+
+
 def _with_epoch(
     decoded: DataFrame, epoch_size: Optional[int], epoch_expr: Optional[Column]
 ) -> DataFrame:
@@ -149,13 +172,16 @@ def decode_debezium(
     offset = None
     for p in offset_paths:
         wrapped = "$.payload" + p[1:]
-        cand = _jget(v, wrapped, p)
+        # cast each candidate BEFORE coalescing: a first-match path whose
+        # value is non-numeric (e.g. Postgres source.sequence, a JSON-array
+        # string) must fall through to the next path, not null the offset
+        cand = _jget(v, wrapped, p).try_cast("long")
         offset = cand if offset is None else F.coalesce(offset, cand)
     op = _normalize_op(raw_op, _DEBEZIUM_OPS, on_unknown, "debezium")
     out = (
         df.where(v.isNotNull())  # compaction tombstones
         .select(
-            offset.cast("long").alias("log_offset"),
+            _guard_offset(offset, on_unknown, "debezium").alias("log_offset"),
             op.alias("op"),
             # Delete events carry after=null; the before image IS the
             # deleted row (key extraction downstream works unchanged).
@@ -164,7 +190,9 @@ def decode_debezium(
         )
     )
     if on_unknown == "drop":
-        out = out.where(F.col("op").isNotNull())
+        out = out.where(
+            F.col("op").isNotNull() & F.col("log_offset").isNotNull()
+        )
     return _with_epoch(out, epoch_size, epoch_expr)
 
 
@@ -215,17 +243,26 @@ def decode_maxwell(
     op = _normalize_op(raw_op, mapping, on_unknown, "maxwell")
     out = (
         df.where(v.isNotNull())
-        # bootstrap markers: row-less control events, never data
-        .where(~raw_op.isin("bootstrap-start", "bootstrap-complete"))
+        # bootstrap markers: row-less control events, never data. NULL-safe
+        # coalesce: a missing $.type must NOT be filtered here (NULL.isin
+        # is NULL) — it has to reach the op CASE so the error policy fires
+        .where(
+            ~F.coalesce(
+                raw_op.isin("bootstrap-start", "bootstrap-complete"),
+                F.lit(False),
+            )
+        )
         .select(
-            off.alias("log_offset"),
+            _guard_offset(off, on_unknown, "maxwell").alias("log_offset"),
             op.alias("op"),
             data.alias("payload"),  # Maxwell deletes ship the row in data
             *[F.col(c) for c in extra_cols],
         )
     )
     if on_unknown == "drop":
-        out = out.where(F.col("op").isNotNull())
+        out = out.where(
+            F.col("op").isNotNull() & F.col("log_offset").isNotNull()
+        )
     return _with_epoch(out, epoch_size, epoch_expr)
 
 
@@ -289,10 +326,12 @@ def decode_canal(
         )
     )
     out = exploded.select(
-        (
+        _guard_offset(
             F.col("__es") * F.lit(4194304)
             + F.pmod(F.col("__id"), F.lit(4096)) * F.lit(1024)
-            + F.pmod(F.col("__pos"), F.lit(1024))
+            + F.pmod(F.col("__pos"), F.lit(1024)),
+            on_unknown,
+            "canal",
         ).alias("log_offset"),
         F.col("op"),
         F.to_json("__row").alias("payload"),
@@ -303,6 +342,7 @@ def decode_canal(
     out = out.where(
         (F.col("op").isNotNull() | F.lit(on_unknown == "keep"))
         & F.col("payload").isNotNull()
+        & (F.col("log_offset").isNotNull() | F.lit(on_unknown != "drop"))
     )
     return _with_epoch(out, epoch_size, epoch_expr)
 
@@ -394,18 +434,33 @@ def decode_wal2json(
         ),
         F.lit("}"),
     )
+    keep = on_unknown == "keep"
     out = exploded.select(
-        (
-            F.col("__lsn") * F.lit(1024) + F.pmod(F.col("__pos"), F.lit(1024))
+        _guard_offset(
+            F.col("__lsn") * F.lit(1024)
+            + F.pmod(F.col("__pos"), F.lit(1024)),
+            on_unknown,
+            "wal2json",
         ).alias("log_offset"),
         op.alias("op"),
         payload.alias("payload"),
+        raw_op.alias("__kind"),
         *[F.col(c) for c in extra_cols],
     )
-    out = out.where(
-        (F.col("op").isNotNull() | F.lit(on_unknown == "keep"))
-        & F.col("payload").isNotNull()
+    # keep-mode passes non-row kinds (truncate — NULL payload, no
+    # columnnames) through for a custom downstream policy, mirroring
+    # decode_debezium; mapped kinds always require a row image
+    unmapped = ~F.coalesce(
+        F.col("__kind").isin(*_WAL2JSON_OPS), F.lit(False)
     )
+    out = out.where(
+        (F.col("op").isNotNull() | F.lit(keep))
+        & (F.col("payload").isNotNull() | (F.lit(keep) & unmapped))
+        & (
+            F.col("log_offset").isNotNull()
+            | F.lit(on_unknown != "drop")
+        )
+    ).drop("__kind")
     return _with_epoch(out, epoch_size, epoch_expr)
 
 

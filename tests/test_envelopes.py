@@ -441,3 +441,70 @@ def test_wal2json_policies_and_escaping(spark):
     kept = decode_wal2json(df, on_unknown="drop").collect()
     assert len(kept) == 1
     assert json.loads(kept[0].payload) == {'we"ird': "v"}
+
+
+def test_maxwell_missing_type_and_offsetless_bootstrap(spark):
+    # a record with no $.type must hit the error policy, not vanish
+    # (NULL.isin(...) is NULL — the marker filter is NULL-safe now)
+    df = spark.createDataFrame(
+        [Row(value='{"data":{"doc_id":"x"},"position":"m.000001:5"}')],
+        "value string",
+    )
+    with pytest.raises(Exception, match="unknown maxwell op: <missing>"):
+        decode_maxwell(df).collect()
+    assert decode_maxwell(df, on_unknown="drop").count() == 0
+
+    # real Maxwell bootstrap rows carry no position/xid: NULL order keys
+    # must abort under 'error' and drop under 'drop', never flow through
+    boot = spark.createDataFrame(
+        [Row(value=_mxw("bootstrap-insert", data={"doc_id": "y"}, ts=5))],
+        "value string",
+    )
+    with pytest.raises(Exception, match="NULL log_offset"):
+        decode_maxwell(boot).collect()
+    assert decode_maxwell(boot, on_unknown="drop").count() == 0
+
+
+def test_debezium_nonnumeric_offset_path_falls_through(spark):
+    # Postgres source.sequence is a JSON-array STRING — a non-numeric
+    # first match must fall through to ts_ms, not null the offset
+    import json as _json
+
+    val = _json.dumps({"payload": {
+        "op": "c", "after": {"k": 1}, "ts_ms": 777,
+        "source": {"sequence": '["24023119","24023128"]'},
+    }})
+    df = spark.createDataFrame([Row(value=val)], "value string")
+    out = decode_debezium(
+        df, offset_paths=("$.source.sequence", "$.ts_ms")
+    ).collect()
+    assert out[0].log_offset == 777
+
+
+def test_wal2json_keep_passes_nonrow_kinds_and_guards_lsn(spark):
+    from embulk_filter_expand_json_spark.sources.envelopes import (
+        decode_wal2json,
+    )
+
+    df = spark.createDataFrame(
+        [Row(value=_w2j([
+            {"kind": "truncate", "schema": "p", "table": "t"},
+            {"kind": "insert", "columnnames": ["k"], "columnvalues": [1]},
+        ], nextlsn="0/4"))],
+        "value string",
+    )
+    kept = decode_wal2json(df, on_unknown="keep").orderBy("log_offset").collect()
+    assert [(r.op, r.payload) for r in kept] == [
+        ("truncate", None), ("I", '{"k":1}'),
+    ]
+
+    # a dump without include-lsn must abort loudly, not decode NULL offsets
+    nolsn = spark.createDataFrame(
+        [Row(value=_w2j([
+            {"kind": "insert", "columnnames": ["k"], "columnvalues": [1]},
+        ]))],
+        "value string",
+    )
+    with pytest.raises(Exception, match="NULL log_offset"):
+        decode_wal2json(nolsn).collect()
+    assert decode_wal2json(nolsn, on_unknown="drop").count() == 0
