@@ -63,13 +63,19 @@ def _obs_row(obs) -> dict:
     never executes — the JVM-side metrics row is irretrievable (toPyRow
     asserts). The only consistent reading of that state is "the observed
     stream had zero rows", so missing metrics resolve to an empty dict and
-    callers default each field to 0."""
+    callers default each field to 0. ONLY that specific assertion is
+    swallowed — any other JVM failure re-raises, because reading a real
+    metrics error as zero counts would let a fail-action expectation pass
+    on an epoch that actually violated it."""
     from py4j.protocol import Py4JJavaError
 
     try:
         return obs.get
-    except Py4JJavaError:
-        return {}
+    except Py4JJavaError as e:
+        msg = str(e)
+        if "toPyRow" in msg or "assertion failed" in msg:
+            return {}
+        raise
 
 
 class ExpectationFailed(RuntimeError):
@@ -570,56 +576,148 @@ class CdcPipeline:
         )
         deduped = lww_dedup(
             typed, key=self.key, order=self.order, strategy=self.lww_strategy
-        )
-
-        # global-LWW guard: per-doc max VALID offset over committed epochs
-        applied_log = self._read_changes().filter(
-            F.col("epoch") <= self.last_committed_epoch()
-        )
-        applied_max = (
-            flag_invalid_records(applied_log, cfg, mode="auto")
-            .filter(
-                ~F.col("_invalid")
-                & F.get_json_object("payload", key_path).isNotNull()
-            )
-            .select(
-                F.get_json_object("payload", key_path).alias(self.key),
-                F.col(self.order),
-            )
-            .groupBy(self.key)
-            .agg(F.max(self.order).alias("__applied_off"))
-        )
-        cand = (
-            deduped.join(applied_max, on=self.key, how="left")
-            .filter(
-                F.col("__applied_off").isNull()
-                | (F.col(self.order) > F.col("__applied_off"))
-            )
-            .drop("__applied_off")
-            .localCheckpoint()  # merge_into re-reads the source per retry
-        )
+        ).localCheckpoint()  # one expansion pass; re-joined per attempt
         out["winners"] = deduped.count()
-        out["applied"] = cand.count()
-        out["stale"] = out["winners"] - out["applied"]
 
-        if out["applied"]:
+        # data-quality expectations apply to redriven winners exactly as
+        # the epoch path applies them to LWW winners ("had the rows been
+        # valid all along"): deletes exempt, NULL predicate = violation;
+        # fail aborts BEFORE any mutation, drop excludes the row (it still
+        # leaves the DLQ — it was repaired and adjudicated), warn counts
+        if self.expectations:
+            viols = [
+                (F.col("op") != F.lit("D"))
+                & ~F.coalesce(F.expr(pred), F.lit(False))
+                for _n, pred, _a in self.expectations
+            ]
+            counts = deduped.agg(
+                *[
+                    F.sum(F.when(v, 1).otherwise(0)).alias(f"exp_{i}")
+                    for i, v in enumerate(viols)
+                ]
+            ).collect()[0]
+            keep = None
+            for i, (name, _pred, action) in enumerate(self.expectations):
+                n = counts[f"exp_{i}"] or 0
+                out[f"expectation_{name}"] = n
+                if action == "fail" and n > 0:
+                    raise ExpectationFailed(
+                        f"requeue aborted: expectation {name!r} violated "
+                        f"by {n} repaired rows (nothing was applied)"
+                    )
+                if action == "drop":
+                    k = ~viols[i]
+                    keep = k if keep is None else keep & k
+            if keep is not None:
+                deduped = deduped.filter(keep)
+
+        # the redrive ledger: (key, max redriven offset) per doc, because
+        # rows applied by a PREVIOUS redrive exist only as DML in the feed
+        # — they are invisible to the valid-rows-of-the-log scan, and
+        # without the ledger a later redrive could stomp them with an
+        # older-offset repair
+        ledger = SnapTable(
+            self.spark, self.quarantine.path.rstrip("/") + "_redrive"
+        )
+
+        def build_cand():
+            # recomputed per commit attempt AGAINST THE FRESH WATERMARK:
+            # an epoch committing concurrently with the redrive raises
+            # CommitConflict below (same-doc commits always touch the
+            # doc's bucket), and the retry must re-derive the guard like
+            # update_where recomputes its predicate — a stale guard plus
+            # the unconditional matched-update would overwrite newer state
+            applied_log = self._read_changes().filter(
+                F.col("epoch") <= self.last_committed_epoch()
+            )
+            pairs = (
+                flag_invalid_records(applied_log, cfg, mode="auto")
+                .filter(
+                    ~F.col("_invalid")
+                    & F.get_json_object("payload", key_path).isNotNull()
+                )
+                .select(
+                    F.get_json_object("payload", key_path).alias(self.key),
+                    F.col(self.order),
+                )
+            )
+            if ledger.exists():
+                pairs = pairs.unionByName(
+                    ledger.read().select(self.key, self.order)
+                )
+            applied_max = pairs.groupBy(self.key).agg(
+                F.max(self.order).alias("__applied_off")
+            )
+            return (
+                deduped.join(applied_max, on=self.key, how="left")
+                .filter(
+                    F.col("__applied_off").isNull()
+                    | (F.col(self.order) > F.col("__applied_off"))
+                )
+                .drop("__applied_off")
+                .localCheckpoint()  # merge_into re-reads its source
+            )
+
+        data_cols = [f.name for f in self.table.schema().fields]
+        last_err = None
+        for _ in range(10):
+            cand = build_cand()
+            out["applied"] = cand.count()
+            out["stale"] = out["winners"] - out["applied"]
+            if not out["applied"]:
+                break
             src = cand.withColumn("__del", F.col("op") == "D").drop(
                 "op", self.order
             )
-            data_cols = [f.name for f in self.table.schema().fields]
-            self.table.merge_into(
-                src,
-                when_matched_delete_condition="s.__del",
-                when_matched_update={
-                    c: f"s.{c}" for c in data_cols if c != self.key
-                },
-                when_matched_update_condition="NOT s.__del",
+            try:
+                self.table.merge_into(
+                    src,
+                    when_matched_delete_condition="s.__del",
+                    when_matched_update={
+                        c: f"s.{c}" for c in data_cols if c != self.key
+                    },
+                    when_matched_update_condition="NOT s.__del",
+                    when_not_matched_insert=True,
+                    when_not_matched_condition="NOT s.__del",
+                    max_commit_retries=0,  # retries recompute the guard
+                )
+                last_err = None
+                break
+            except CommitConflict as e:
+                last_err = e
+                continue
+        if last_err is not None:
+            raise CommitConflict(
+                "requeue exhausted its guard-recompute retries"
+            ) from last_err
+
+        if out["applied"]:
+            # record the redriven offsets so FUTURE redrives' guards see
+            # them (monotone per doc: update only when the new offset wins)
+            if not ledger.exists():
+                ledger.create(
+                    T.StructType(
+                        [
+                            T.StructField(self.key, T.StringType(), False),
+                            T.StructField(self.order, T.LongType(), True),
+                        ]
+                    ),
+                    key=self.key,
+                    num_buckets=8,
+                    properties={"redrive_ledger": True},
+                )
+            ledger.merge_into(
+                cand.select(self.key, self.order),
+                when_matched_update={self.order: f"s.{self.order}"},
+                when_matched_update_condition=(
+                    f"s.{self.order} > t.{self.order}"
+                ),
                 when_not_matched_insert=True,
-                when_not_matched_condition="NOT s.__del",
             )
 
         # every repaired row leaves the DLQ (applied, LWW-lost within the
-        # redrive batch, or stale vs the table) — only still-invalid stay
+        # redrive batch, expectation-dropped, or stale vs the table) —
+        # only still-invalid stay
         self.quarantine.merge_into(
             good.select(self.order),
             when_matched_delete_condition="true",

@@ -133,6 +133,12 @@ def run(spark, argv) -> int:
                     "rows before re-ingest (the producer fix), e.g. "
                     "--fix-set \"payload=regexp_replace(payload, 'a', 'b')\""
                     "; omit to retry rows as-is")
+    rq.add_argument("--expect", action="append", default=[],
+                    metavar="NAME:ACTION:PREDICATE",
+                    help="data-quality expectations over redriven winners "
+                    "(same algebra as the replay CLI) — pass the SAME "
+                    "expectations the production pipeline runs with, or "
+                    "redriven rows bypass them")
     args = ap.parse_args(argv)
 
     from embulk_filter_expand_json_spark.streaming.snaptable import SnapTable
@@ -198,8 +204,15 @@ def run(spark, argv) -> int:
             CdcPipeline,
         )
 
+        expectations = []
+        for s in args.expect:
+            if s.count(":") < 2:
+                raise SystemExit(f"--expect {s!r} is not NAME:ACTION:PREDICATE")
+            name, action, pred = s.split(":", 2)
+            expectations.append((name, pred, action))
         pipe = CdcPipeline(
-            spark, args.changes, args.table, quarantine_path=args.quarantine
+            spark, args.changes, args.table, quarantine_path=args.quarantine,
+            expectations=expectations,
         )
         fix = None
         if args.fix_spec:

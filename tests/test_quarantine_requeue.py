@@ -250,3 +250,106 @@ def test_all_invalid_epoch_replays_cleanly(spark, tmp_path):
     res = pipe.requeue_quarantine(FIX_BADTYPE)
     assert res["applied"] == 2
     assert {r.doc_id for r in pipe.table.read().collect()} == {"A", "B", "C"}
+
+
+def test_second_redrive_cannot_stomp_first_redrive(spark, tmp_path):
+    """Rows applied by a PREVIOUS redrive exist only as DML (invisible to
+    the valid-rows-of-the-log guard scan) — the redrive ledger must stop a
+    later redrive from overwriting them with an older-offset repair."""
+    rows = [
+        # doc X: bad-typed at 5 AND at 10; no valid row at all
+        Row(5, 0, "U", '{"doc_id":"X","tokens":"oops","n_tok":5,"source":"a"}'),
+        Row(10, 0, "U", '{"doc_id":"X","tokens":"oops","n_tok":10,"source":"a"}'),
+    ]
+    log = str(tmp_path / "log")
+    _handmade_log(spark, log, rows)
+    pipe = CdcPipeline(
+        spark, log, str(tmp_path / "t"), num_buckets=2,
+        quarantine_path=str(tmp_path / "dlq"),
+    )
+    pipe.run()
+    assert pipe.table.read().count() == 0
+
+    # redrive 1 repairs ONLY the offset-10 row
+    fix10 = lambda df: df.withColumn(  # noqa: E731
+        "payload",
+        F.when(
+            F.col("log_offset") == 10,
+            F.regexp_replace("payload", '"tokens":"oops"', '"tokens":[]'),
+        ).otherwise(F.col("payload")),
+    )
+    r1 = pipe.requeue_quarantine(fix10)
+    assert r1["applied"] == 1 and r1["still_invalid"] == 1
+    assert {r.n_tok for r in pipe.table.read().collect()} == {10}
+
+    # redrive 2 repairs everything left (the offset-5 row): it must be
+    # STALE against the ledger, never stomping the offset-10 state
+    r2 = pipe.requeue_quarantine(FIX_BADTYPE)
+    assert r2["repaired"] == 1 and r2["applied"] == 0 and r2["stale"] == 1
+    assert {r.n_tok for r in pipe.table.read().collect()} == {10}
+    assert pipe.quarantine.read().count() == 0
+
+
+def test_redrive_applies_expectations(spark, tmp_path):
+    """Repaired rows face the pipeline's expectations exactly as an epoch
+    would: drop excludes, fail aborts pre-mutation."""
+    rows = [
+        Row(1, 0, "U", '{"doc_id":"A","tokens":"oops","n_tok":-1,"source":"s"}'),
+        Row(2, 0, "U", '{"doc_id":"B","tokens":"oops","n_tok":3,"source":"s"}'),
+    ]
+    log = str(tmp_path / "log")
+    _handmade_log(spark, log, rows)
+    pipe = CdcPipeline(
+        spark, log, str(tmp_path / "t"), num_buckets=2,
+        quarantine_path=str(tmp_path / "dlq"),
+        expectations=[("tok_pos", "n_tok > 0", "drop")],
+    )
+    pipe.run()
+    res = pipe.requeue_quarantine(FIX_BADTYPE)
+    assert res["expectation_tok_pos"] == 1
+    assert res["applied"] == 1  # only B survives the drop expectation
+    assert {r.doc_id for r in pipe.table.read().collect()} == {"B"}
+    assert pipe.quarantine.read().count() == 0  # adjudicated rows leave
+
+    # fail-action aborts BEFORE any mutation
+    pipe2 = CdcPipeline(
+        spark, log, str(tmp_path / "t2"), num_buckets=2,
+        quarantine_path=str(tmp_path / "dlq2"),
+        expectations=[("tok_pos", "n_tok > 0", "fail")],
+    )
+    pipe2.run()
+    from embulk_filter_expand_json_spark.streaming.pipeline import (
+        ExpectationFailed,
+    )
+
+    with pytest.raises(ExpectationFailed, match="tok_pos"):
+        pipe2.requeue_quarantine(FIX_BADTYPE)
+    assert pipe2.table.read().count() == 0  # nothing applied
+    assert pipe2.quarantine.read().count() == 2  # nothing removed
+
+
+def test_obs_row_swallows_only_pruned_metrics_assertion():
+    from py4j.protocol import Py4JJavaError
+
+    from embulk_filter_expand_json_spark.streaming.pipeline import _obs_row
+
+    class _Err(Py4JJavaError):
+        def __init__(self, text):  # skip Py4JJavaError's java plumbing
+            self._t = text
+
+        def __str__(self):
+            return self._t
+
+    class _Obs:
+        def __init__(self, err):
+            self._err = err
+
+        @property
+        def get(self):
+            raise self._err
+
+    assert _obs_row(_Obs(_Err(
+        "An error occurred while calling z:...PythonSQLUtils.toPyRow."
+    ))) == {}
+    with pytest.raises(Py4JJavaError, match="OutOfMemory"):
+        _obs_row(_Obs(_Err("java.lang.OutOfMemoryError: OutOfMemory")))
