@@ -464,6 +464,39 @@ def decode_wal2json(
     return _with_epoch(out, epoch_size, epoch_expr)
 
 
+def decode_envelope(
+    df: DataFrame,
+    fmt: str,
+    value_col: str = "value",
+    on_unknown: str = "error",
+    maxwell_offset: str = "position",
+    epoch_size: Optional[int] = None,
+    epoch_expr: Optional[Column] = None,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The one dispatch site for the four decoders — the replay CLI and
+    the streaming front-end both route here, so a new format (or a new
+    shared kwarg) is added in exactly one place."""
+    common = dict(
+        value_col=value_col,
+        on_unknown=on_unknown,
+        epoch_size=epoch_size,
+        epoch_expr=epoch_expr,
+        extra_cols=extra_cols,
+    )
+    if fmt == "debezium":
+        return decode_debezium(df, **common)
+    if fmt == "maxwell":
+        return decode_maxwell(df, offset=maxwell_offset, **common)
+    if fmt == "canal":
+        return decode_canal(df, **common)
+    if fmt == "wal2json":
+        return decode_wal2json(df, **common)
+    raise ValueError(
+        f"fmt must be debezium/maxwell/canal/wal2json, got {fmt!r}"
+    )
+
+
 def write_envelope_changes(decoded: DataFrame, path: str) -> None:
     """Materialize a decoded envelope stream as a canonical change log
     (epoch-partitioned parquet — the layout CdcPipeline partition-prunes

@@ -53,6 +53,7 @@ def run_streaming_apply(
     envelope_text: bool = False,
     envelope_value_col: str = "value",
     maxwell_offset: str = "position",
+    envelope_on_unknown: str = "error",
 ):
     """Tail ``changes_path`` (parquet dir) and apply micro-batches to the
     SnapTable at ``table_path``. Returns the StreamingQuery (caller awaits
@@ -99,29 +100,21 @@ def run_streaming_apply(
     stream = reader.load(changes_path)
     if input_format != "canonical":
         from embulk_filter_expand_json_spark.sources.envelopes import (
-            decode_canal,
-            decode_debezium,
-            decode_maxwell,
-            decode_wal2json,
+            decode_envelope,
         )
 
-        if envelope_text and envelope_value_col != "value":
-            stream = stream.withColumnRenamed("value", envelope_value_col)
-        if input_format == "debezium":
-            stream = decode_debezium(stream, value_col=envelope_value_col)
-        elif input_format == "maxwell":
-            stream = decode_maxwell(
-                stream, value_col=envelope_value_col, offset=maxwell_offset
-            )
-        elif input_format == "canal":
-            stream = decode_canal(stream, value_col=envelope_value_col)
-        elif input_format == "wal2json":
-            stream = decode_wal2json(stream, value_col=envelope_value_col)
-        else:
-            raise ValueError(
-                "input_format must be canonical/debezium/maxwell/canal/wal2json, "
-                f"got {input_format!r}"
-            )
+        # envelope_on_unknown matters operationally here: with the default
+        # 'error', ONE unmapped op in the stream kills the query and the
+        # checkpoint replays the same poison batch on every restart — pass
+        # 'drop' (or 'keep') for dumps that may carry truncate/message
+        # events
+        stream = decode_envelope(
+            stream,
+            input_format,
+            value_col="value" if envelope_text else envelope_value_col,
+            on_unknown=envelope_on_unknown,
+            maxwell_offset=maxwell_offset,
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         try:

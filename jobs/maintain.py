@@ -133,6 +133,11 @@ def run(spark, argv) -> int:
                     "rows before re-ingest (the producer fix), e.g. "
                     "--fix-set \"payload=regexp_replace(payload, 'a', 'b')\""
                     "; omit to retry rows as-is")
+    rq.add_argument("--no-evolve", action="store_true",
+                    help="freeze the table schema during the redrive (pass "
+                    "this if the production replay runs with --no-evolve — "
+                    "otherwise a repair carrying a new payload key would "
+                    "add a column the pipeline owner disabled)")
     rq.add_argument("--expect", action="append", default=[],
                     metavar="NAME:ACTION:PREDICATE",
                     help="data-quality expectations over redriven winners "
@@ -212,7 +217,7 @@ def run(spark, argv) -> int:
             expectations.append((name, pred, action))
         pipe = CdcPipeline(
             spark, args.changes, args.table, quarantine_path=args.quarantine,
-            expectations=expectations,
+            expectations=expectations, auto_evolve=not args.no_evolve,
         )
         fix = None
         if args.fix_spec:

@@ -73,6 +73,17 @@ def run(spark, argv) -> int:
         choices=["position", "ts_xid"],
         help="maxwell offset derivation (binlog file:pos pack, or ts/xid)",
     )
+    ap.add_argument(
+        "--on-unknown",
+        default="error",
+        choices=["error", "drop", "keep"],
+        help="policy for envelope events the decoder does not map to a "
+        "row change (Debezium truncate/message, Canal TRUNCATE, ...): "
+        "'error' aborts the decode (the default — matches "
+        "stop_on_invalid_record), 'drop' skips them, 'keep' passes the "
+        "raw op through. Without 'drop', one such event in the dump "
+        "fails the replay on every retry",
+    )
     ap.add_argument("--table", required=True, help="SnapTable root path")
     ap.add_argument("--max-epochs", type=int, default=None)
     ap.add_argument(
@@ -142,6 +153,15 @@ def run(spark, argv) -> int:
 
     from embulk_filter_expand_json_spark.streaming.pipeline import CdcPipeline
 
+    # validate EVERYTHING cheap before any Spark job: a typo'd --expect
+    # must not cost a multi-TB envelope decode first
+    expectations = []
+    for s in args.expect:
+        if s.count(":") < 2:
+            raise SystemExit(f"--expect {s!r} is not NAME:ACTION:PREDICATE")
+        name, action, pred = s.split(":", 2)
+        expectations.append((name, pred, action))
+
     changes_path = args.changes
     if args.input_format != "canonical":
         if not args.decoded_log or not args.envelope_epoch_size:
@@ -150,53 +170,26 @@ def run(spark, argv) -> int:
                 f"for --input-format {args.input_format}"
             )
         from embulk_filter_expand_json_spark.sources.envelopes import (
-            decode_canal,
-            decode_debezium,
-            decode_maxwell,
-            decode_wal2json,
+            decode_envelope,
             write_envelope_changes,
         )
 
         if args.envelope_text:
-            raw = spark.read.text(args.changes).withColumnRenamed(
-                "value", args.envelope_value_col
-            )
+            raw = spark.read.text(args.changes)
+            value_col = "value"  # the text source's one column
         else:
             raw = spark.read.parquet(args.changes)
-        if args.input_format == "debezium":
-            decoded = decode_debezium(
-                raw,
-                value_col=args.envelope_value_col,
-                epoch_size=args.envelope_epoch_size,
-            )
-        elif args.input_format == "canal":
-            decoded = decode_canal(
-                raw,
-                value_col=args.envelope_value_col,
-                epoch_size=args.envelope_epoch_size,
-            )
-        elif args.input_format == "wal2json":
-            decoded = decode_wal2json(
-                raw,
-                value_col=args.envelope_value_col,
-                epoch_size=args.envelope_epoch_size,
-            )
-        else:
-            decoded = decode_maxwell(
-                raw,
-                value_col=args.envelope_value_col,
-                offset=args.maxwell_offset,
-                epoch_size=args.envelope_epoch_size,
-            )
+            value_col = args.envelope_value_col
+        decoded = decode_envelope(
+            raw,
+            args.input_format,
+            value_col=value_col,
+            on_unknown=args.on_unknown,
+            maxwell_offset=args.maxwell_offset,
+            epoch_size=args.envelope_epoch_size,
+        )
         write_envelope_changes(decoded, args.decoded_log)
         changes_path = args.decoded_log
-
-    expectations = []
-    for s in args.expect:
-        if s.count(":") < 2:
-            raise SystemExit(f"--expect {s!r} is not NAME:ACTION:PREDICATE")
-        name, action, pred = s.split(":", 2)
-        expectations.append((name, pred, action))
 
     pipe = CdcPipeline(
         spark,
