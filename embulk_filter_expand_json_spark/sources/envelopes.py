@@ -164,6 +164,13 @@ def decode_debezium(
     ``source.sequence``, then the connector's ``ts_ms`` as a last resort.
     ``extra_cols`` propagates source frame columns (e.g. a Kafka
     partition/offset pair) alongside the canonical four.
+
+    Structurally unreadable values (non-JSON bytes: every probed path
+    NULL) are excluded under every policy — one corrupt message must not
+    abort a multi-TB decode; recover them by filtering the raw frame for
+    non-null values that decode to nothing. A *well-formed* envelope with
+    a missing/unknown op or absent offset fields still follows
+    ``on_unknown`` (abort under ``'error'``).
     """
     v = F.col(value_col)
     raw_op = _jget(v, "$.payload.op", "$.op")
@@ -177,9 +184,22 @@ def decode_debezium(
         # string) must fall through to the next path, not null the offset
         cand = _jget(v, wrapped, p).try_cast("long")
         offset = cand if offset is None else F.coalesce(offset, cand)
+    # Structurally unreadable envelopes (non-JSON bytes on the topic: every
+    # probed path is NULL) are a different failure class than a WELL-FORMED
+    # envelope missing an offset/op field. One corrupt message must not
+    # abort a multi-TB decode under the default 'error' policy — the guard
+    # below stays loud for readable envelopes with absent offsets, while
+    # unreadable ones are excluded here (lazy Or: one parse on valid rows).
+    readable = (
+        raw_op.isNotNull()
+        | after.isNotNull()
+        | before.isNotNull()
+        | offset.isNotNull()
+    )
     op = _normalize_op(raw_op, _DEBEZIUM_OPS, on_unknown, "debezium")
     out = (
         df.where(v.isNotNull())  # compaction tombstones
+        .where(readable)  # structurally unreadable: not a decodable change
         .select(
             _guard_offset(offset, on_unknown, "debezium").alias("log_offset"),
             op.alias("op"),
@@ -241,8 +261,14 @@ def decode_maxwell(
         raise ValueError(f"offset must be 'position' or 'ts_xid', got {offset!r}")
     mapping = {k: val for k, val in _MAXWELL_OPS.items() if val is not None}
     op = _normalize_op(raw_op, mapping, on_unknown, "maxwell")
+    # Same malformed-envelope class as decode_debezium: non-JSON bytes give
+    # NULL for every probed field and are excluded; a well-formed envelope
+    # missing only its type (or only its position) still reaches the op
+    # CASE / offset guard so the error policy fires loudly.
+    readable = raw_op.isNotNull() | data.isNotNull() | off.isNotNull()
     out = (
         df.where(v.isNotNull())
+        .where(readable)
         # bootstrap markers: row-less control events, never data. NULL-safe
         # coalesce: a missing $.type must NOT be filtered here (NULL.isin
         # is NULL) — it has to reach the op CASE so the error policy fires

@@ -508,3 +508,30 @@ def test_wal2json_keep_passes_nonrow_kinds_and_guards_lsn(spark):
     with pytest.raises(Exception, match="NULL log_offset"):
         decode_wal2json(nolsn).collect()
     assert decode_wal2json(nolsn, on_unknown="drop").count() == 0
+
+def test_malformed_envelopes_excluded_not_fatal(spark):
+    """Structurally unreadable envelopes (non-JSON bytes — e.g. a truncated
+    payload doc corrupting the whole concat-built envelope) must not abort
+    the decode under the default 'error' policy: they are excluded under
+    every policy. Well-formed envelopes with absent offsets keep the loud
+    abort (pinned elsewhere: maxwell bootstrap / wal2json no-lsn)."""
+    good = _dbz("c", after={"doc_id": "a", "n": 1}, lsn=7)
+    rows = [
+        Row(value=good),
+        Row(value='{"payload":{"op":"u","source":{"lsn":9},"after":{"doc_id":'),
+        Row(value="not json at all"),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    for policy in ("error", "drop", "keep"):
+        out = decode_debezium(df, on_unknown=policy).collect()
+        assert [(r.log_offset, r.op) for r in out] == [(7, "I")], policy
+
+    mrows = [
+        Row(value=_mxw("insert", data={"doc_id": "a"},
+                       position="master.000001:10")),
+        Row(value='{"type":"insert","data":{"doc_id"'),
+    ]
+    mdf = spark.createDataFrame(mrows, "value string")
+    for policy in ("error", "drop"):
+        out = decode_maxwell(mdf, on_unknown=policy).collect()
+        assert [(r.op) for r in out] == ["I"], policy
