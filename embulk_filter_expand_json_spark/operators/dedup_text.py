@@ -6,7 +6,7 @@ Four families, each shaped for 100 TB scale:
   hash-shuffle with map-side partial aggregation; no Python.
 - **MinHash + LSH**: shingle -> K minhashes -> B bands -> explode bands ->
   self-join within (band, signature) buckets. The full pipeline is pure
-  Catalyst (`char_ngrams` + `transform`/`array_min` over xxhash64), so the
+  Catalyst (`char_ngrams` explode + codegen'd min aggregation), so the
   signature computation rides whole-stage codegen; the candidate join is a
   shuffle on band keys only (never the O(n^2) cross join).
 - **SimHash**: 64-bit sign-aggregated token hashes via a vectorized numpy
@@ -31,6 +31,31 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from embulk_filter_expand_json_spark.functions.text import char_ngrams, fingerprint
+
+
+def _fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input fan-out for compute-heavy map stages.
+
+    Shingling / window-hashing / signature aggregation all run in the SCAN
+    stage (before the first exchange), so their parallelism equals the
+    input split count. A small corpus is often one parquet file with one
+    row group — a single task then pays the whole explode+hash cost while
+    every other core idles (the "unsplittable input" skew of the
+    optimization playbook; remedy: repartition immediately after the
+    read). Round-robin repartition to the default parallelism ONLY when
+    the scan has fewer splits than cores: at real (multi-TB) scale the
+    scan already has orders of magnitude more splits than cores and this
+    is a no-op, so nothing is tuned to the small case. The moved bytes
+    are bounded by the undersized input itself (< cores x split size)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — exotic plans; fan-out is optional
+        return df
+    if n >= target:
+        return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------- exact dup
@@ -142,15 +167,22 @@ def minhash_signatures(
     min over xxhash64(shingle, seed_i) per hash function.
 
     Physical shape: explode shingles -> hash-aggregate with num_hashes
-    ``min`` buffers. Per-hash ``transform``/``array_min`` over the shingle
-    array computes the identical values but runs interpreted (higher-order
-    functions are outside whole-stage codegen) — measured 2.2x slower.
-    The groupBy's shuffle is one combined row per doc (~8*num_hashes B;
-    map-side partial aggregation folds each partition's shingles first),
-    the same order as the LSH band shuffle downstream."""
+    ``min`` buffers (whole-stage codegen). Re-measured this round: the
+    per-hash ``transform``/``array_min`` HOF projection computes identical
+    values with zero shuffle but runs interpreted — min-of-5 ABBA at bench
+    scale put it at 4.2 s vs 2.1 s for this shape — so the codegen'd
+    explode+agg stays (the groupBy's exchange is one ~8*num_hashes-byte
+    row per doc after map-side partial aggregation, negligible next to
+    the hashing itself)."""
+    # project to (id, text) BEFORE the fan-out so only needed bytes move,
+    # then spread an undersized scan across the cores: the shingle explode
+    # and the K min-hash buffers are the map side of the groupBy below and
+    # otherwise run at input-split parallelism (1 task on a 1-row-group
+    # corpus file — measured 6.9 s of a 12 s run at bench scale)
+    src = _fan_out_small_scan(df.select(F.col(id_col), F.col(text_col)))
     shingles = F.array_distinct(char_ngrams(F.col(text_col), shingle_size))
     exploded = (
-        df.select(F.col(id_col), shingles.alias("__sh"))
+        src.select(F.col(id_col), shingles.alias("__sh"))
         .filter(F.size("__sh") > 0)
         .select(id_col, F.explode("__sh").alias("__s"))
     )
@@ -232,13 +264,12 @@ def _candidates_from_sigs(
 ) -> DataFrame:
     banded = _band_table(sigs, id_col, num_hashes, bands)
 
-    # materialize the band table before the self-join: the two join sides
-    # are independent branches of the same plan, so without this the whole
-    # shingle+signature pipeline executes TWICE (the standard LSH shape is
-    # exactly this — build the bucket table once, then join it to itself).
-    # Size is n_docs x bands x 24 B, tiny next to the corpus.
-    banded = banded.localCheckpoint(eager=True)
-
+    # NO checkpoint here: every caller passes a localCheckpoint'ed `sigs`,
+    # so each self-join side recomputes only the cheap band projection over
+    # in-memory signature blocks — the shingle+signature pipeline behind
+    # them never re-runs. Materializing the band table itself (n_docs x
+    # bands rows) would cost an extra eager job at bench scale and real
+    # memory at corpus scale for no avoided work.
     left = banded.select("band", "bh", F.col(id_col).alias("id_a"))
     right = banded.select("band", "bh", F.col(id_col).alias("id_b"))
     return (
@@ -355,7 +386,7 @@ def remove_duplicate_lines(
     # F.split takes a REGEX while array_join below takes a LITERAL: escape
     # the separator so e.g. sep="." or "|" splits on the literal character
     # and round-trips through reassembly unchanged
-    lines = df.select(
+    lines = _fan_out_small_scan(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
             "__pos", "__line"
@@ -544,7 +575,7 @@ def ngram_jaccard_all_pairs(
 
     if not (0.0 < threshold < 1.0):
         raise ValueError("threshold must be in (0, 1)")
-    sizes = df.select(
+    sizes = _fan_out_small_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.size(
             F.array_distinct(char_ngrams(F.col(text_col), shingle_size))
@@ -605,7 +636,10 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     sh = (
-        df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        _fan_out_small_scan(
+            df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+            .select(id_col, text_col)
+        )
         .select(
             F.col(id_col),
             F.array_distinct(
@@ -641,7 +675,7 @@ def simhash(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
-    hashed = df.select(
+    hashed = _fan_out_small_scan(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed))).alias("__th"),
     )
@@ -784,9 +818,9 @@ def duplicate_spans(
     from pyspark.sql import Window as W
 
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    toks = df.select(F.col(id_col), words.alias("__ws")).filter(
-        F.size("__ws") >= window
-    )
+    toks = _fan_out_small_scan(df.select(id_col, text_col)).select(
+        F.col(id_col), words.alias("__ws")
+    ).filter(F.size("__ws") >= window)
     wins = toks.select(
         id_col,
         F.posexplode(
