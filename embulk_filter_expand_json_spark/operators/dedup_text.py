@@ -30,32 +30,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from embulk_filter_expand_json_spark.functions.fanout import (
+    fan_out_small_scan as _fan_out_small_scan,
+)
 from embulk_filter_expand_json_spark.functions.text import char_ngrams, fingerprint
-
-
-def _fan_out_small_scan(df: DataFrame) -> DataFrame:
-    """Scale-adaptive input fan-out for compute-heavy map stages.
-
-    Shingling / window-hashing / signature aggregation all run in the SCAN
-    stage (before the first exchange), so their parallelism equals the
-    input split count. A small corpus is often one parquet file with one
-    row group — a single task then pays the whole explode+hash cost while
-    every other core idles (the "unsplittable input" skew of the
-    optimization playbook; remedy: repartition immediately after the
-    read). Round-robin repartition to the default parallelism ONLY when
-    the scan has fewer splits than cores: at real (multi-TB) scale the
-    scan already has orders of magnitude more splits than cores and this
-    is a no-op, so nothing is tuned to the small case. The moved bytes
-    are bounded by the undersized input itself (< cores x split size)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover — exotic plans; fan-out is optional
-        return df
-    if n >= target:
-        return df
-    return df.repartition(target)
 
 
 # ---------------------------------------------------------------- exact dup

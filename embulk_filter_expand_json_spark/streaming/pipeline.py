@@ -317,7 +317,12 @@ class CdcPipeline:
         )
 
     def apply_epoch(self, epoch: int) -> EpochMetrics:
-        """Apply one epoch of the bounded change log (partition-pruned)."""
+        """Apply one epoch of the bounded change log (partition-pruned).
+
+        No input fan-out here (unlike the text operators): measured at the
+        bench shape, the stage job is bounded by its shuffle/write/commit
+        rounds, not by map-side compute, so repartitioning the pruned
+        slice moved a full copy of the epoch for zero wall-clock gain."""
         changes = self._read_changes().filter(F.col("epoch") == epoch)
         return self.apply_micro_batch(changes, epoch)
 

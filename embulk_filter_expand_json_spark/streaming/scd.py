@@ -120,9 +120,6 @@ class Scd2Replica:
                 "__next_epoch", F.lead("_commit_epoch").over(w)
             )
             .withColumn("__next_v", F.lead("_commit_version").over(w))
-            .withColumn("__first_v", F.min("_commit_version").over(
-                Window.partitionBy(key)
-            ))
         )
         payload = [f.name for f in self.source.schema().fields]
         inserts = ch.filter(F.col("_change_type") == "upsert").select(
@@ -139,15 +136,29 @@ class Scd2Replica:
             ).alias("_scd_key"),
         )
         # close intervals the PREVIOUS applies left open, at each key's
-        # first change in this batch (whether upsert or delete)
+        # first change in this batch (whether upsert or delete). A plain
+        # min-struct aggregate, NOT a min-window over ``ch``: the window
+        # form re-ran the feed scan + a second Exchange/Sort/Window pass
+        # plus a distinct in this branch (plan audit r6: 4 Windows / 4
+        # Exchanges -> 2 / 3); min(struct(version, epoch)) partially
+        # aggregates map-side and (key, version) is unique per commit, so
+        # the result is identical and deterministic.
         firsts = (
-            ch.filter(F.col("_commit_version") == F.col("__first_v"))
+            changes.groupBy(key)
+            .agg(
+                # plain-long buffers -> HashAggregate; a min(struct) here
+                # silently degrades to SortAggregate (struct buffers are
+                # not hashable), re-adding per-partition sorts
+                F.min("_commit_version").alias("__close_v"),
+                F.min_by("_commit_epoch", "_commit_version").alias(
+                    "__close_epoch"
+                ),
+            )
             .select(
                 F.col(key).alias("__k"),
-                F.col("_commit_epoch").alias("__close_epoch"),
-                F.col("_commit_version").alias("__close_v"),
+                F.col("__close_epoch"),
+                F.col("__close_v"),
             )
-            .distinct()
         )
         open_rows = self.table.read_where("_scd_open", True, True).filter(
             F.col("_scd_open")

@@ -854,7 +854,62 @@ class SnapTable:
             T.StructField("_commit_version", T.LongType(), False),
             T.StructField("_commit_epoch", T.LongType(), False),
         ]
-        frames = []
+        flat = [
+            (f, entry["version"], entry["epoch"])
+            for entry in man["changes"]
+            if entry["version"] > since_version
+            for f in entry["files"]
+        ]
+        if not flat:
+            empty = T.StructType(list(schema.fields) + meta_fields)
+            return self.spark.createDataFrame([], empty)
+        # ONE scan of every retained change file, commit metadata attached
+        # by file path via a broadcast map (the ``_metadata.file_path``
+        # hidden column). The previous shape — one scan node per (commit,
+        # change-type) unioned together — paid per-scan planning/listing
+        # setup for every commit in the window (plan audit r6: 32 scan
+        # nodes and ~0.57 s per feed read at 10 commits); this is 1 scan
+        # node regardless of window length. The join key is the last 5
+        # path components (commit dir / stage dir / bucket / flag / part
+        # file — scheme- and mount-independent, and the commit dir plus
+        # the write job's UUID in the part name make it unique); the
+        # (cheap, driver-side) uniqueness check below falls back to the
+        # per-commit union rather than ever risking a wrong join.
+        def _suffix5(p: str) -> str:
+            return "/".join(p.split("/")[-5:])
+
+        names = [_suffix5(f["path"]) for f, _, _ in flat]
+        if len(set(names)) == len(names):
+            meta_df = self.spark.createDataFrame(
+                [
+                    (
+                        n,
+                        "delete" if bool(f["delete"]) else "upsert",
+                        int(v),
+                        int(e),
+                    )
+                    for n, (f, v, e) in zip(names, flat)
+                ],
+                T.StructType(
+                    [T.StructField("__fn", T.StringType(), False)]
+                    + meta_fields
+                ),
+            )
+            return (
+                self._read_files([f for f, _, _ in flat], schema)
+                .withColumn(
+                    "__fn",
+                    F.concat_ws(
+                        "/",
+                        F.slice(
+                            F.split(F.col("_metadata.file_path"), "/"), -5, 5
+                        ),
+                    ),
+                )
+                .join(F.broadcast(meta_df), on="__fn", how="inner")
+                .drop("__fn")
+            )
+        frames = []  # pragma: no cover — duplicate part filenames
         for entry in man["changes"]:
             if entry["version"] <= since_version:
                 continue
@@ -872,9 +927,6 @@ class SnapTable:
                         "_commit_epoch", F.lit(entry["epoch"]).cast("long")
                     )
                 )
-        if not frames:
-            empty = T.StructType(list(schema.fields) + meta_fields)
-            return self.spark.createDataFrame([], empty)
         out = frames[0]
         for fr in frames[1:]:
             out = out.unionByName(fr)
