@@ -77,6 +77,7 @@ def expand_json(
     config: Union[ExpandConfig, Mapping, ExpandPlan],
     mode: str = "auto",
     metrics: Optional[dict] = None,
+    fan_out: bool = True,
 ) -> DataFrame:
     """Apply the expansion operator. ``mode``: 'auto' (Catalyst when every
     path allows it, else Arrow), 'catalyst', or 'arrow'.
@@ -84,6 +85,12 @@ def expand_json(
     ``metrics``: optional dict; if it contains an ``invalid_records``
     Spark Accumulator it is incremented with dropped-row counts
     (Arrow path only — the Catalyst path reports via plan filters).
+
+    ``fan_out``: spread an undersized batch scan across the cores before
+    the per-row parse (see below); callers embedding the expansion in a
+    plan that already pays a downstream exchange (e.g. the CDC epoch
+    loop, where LWW shuffles right after) should pass False — there the
+    extra exchange of raw payloads measured as a net loss.
     """
     if isinstance(config, ExpandPlan):
         plan = config
@@ -103,6 +110,19 @@ def expand_json(
     use_catalyst = mode == "catalyst" or (
         mode == "auto" and _catalyst_eligible(plan, compiled)
     )
+    if fan_out and not df.isStreaming:
+        # Unsplittable-input remedy (scale-adaptive, batch only): a small
+        # input is often one parquet row group, so the whole per-row parse
+        # ran as ONE task while every other core idled. Round-robin to
+        # default parallelism ONLY when the scan has fewer splits than
+        # cores — a structural no-op at real scale, where scans carry
+        # orders of magnitude more splits. Streaming frames pass through
+        # untouched (the operator stays a stateless projection there).
+        from embulk_filter_expand_json_spark.functions.fanout import (
+            fan_out_small_scan,
+        )
+
+        df = fan_out_small_scan(df)
     if use_catalyst:
         return _expand_catalyst(df, plan, compiled)
     return _expand_arrow(df, plan, metrics)
@@ -156,17 +176,25 @@ def flag_invalid_records(
             & (doc != F.lit(""))
             & F.get_json_object(doc, "$").isNull()
         )
-        doc_ok = F.when(malformed, F.lit(None).cast("string")).otherwise(doc)
+        # extraction once per column as a pre-projection attribute — same
+        # tree-size discipline as _expand_catalyst (no guarded-doc wrapper:
+        # extraction over a malformed doc is NULL already, and the cast
+        # kernels treat NULL input as no-error, so `malformed` alone
+        # classifies those rows)
+        pre = [
+            F.get_json_object(doc, _gjo_path(cp)).alias(f"__exc_{i}")
+            for i, cp in enumerate(compiled)
+        ]
+        step = df.select("*", *pre)
         cast_err: Column = F.lit(False)
-        for spec, cp in zip(plan.specs, compiled):
-            ext = F.get_json_object(doc_ok, _gjo_path(cp))
-            _val, e = _catalyst_cast(ext, spec, session_tz)
+        for i, (spec, cp) in enumerate(zip(plan.specs, compiled)):
+            _val, e = _catalyst_cast(F.col(f"__exc_{i}"), spec, session_tz)
             cast_err = cast_err | e
         reason = F.when(malformed, F.lit("malformed_document")).when(
             cast_err, F.lit("cast_error")
         )
-        return df.select(
-            "*",
+        return step.select(
+            *df.columns,
             (malformed | cast_err).alias("_invalid"),
             reason.alias("_invalid_reason"),
         )
@@ -441,34 +469,43 @@ def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFra
         # pass-through column (if kept) stays its original parsed type
         doc = F.to_json(doc)
     # cheap malformed probe: '$' extraction is null only for unparseable
-    # docs; repeated uses collapse via whole-stage-codegen subexpression
-    # elimination (cheaper than a try_parse_json variant build)
+    # docs. Evaluated in exactly ONE place (the error flag): extractions no
+    # longer go through a guarded-doc CASE, because get_json_object over a
+    # malformed document already yields NULL — wrapping the doc only
+    # nested this probe inside EVERY extraction, exploding the expression
+    # tree (r6 plan audit: planning+codegen of the duplicated trees cost
+    # seconds per query while executing them cost ~0.04 s).
     malformed = (
         doc.isNotNull() & (doc != F.lit("")) & F.get_json_object(doc, "$").isNull()
     )
     if plan.malformed_json_policy == "abort":
         # broken top-level JSON always aborts, like Jayway's
         # InvalidJsonException escaping the catch list
-        # (FilteredPageOutput.java:257; test :1039-1081)
-        doc_guarded = F.when(
+        # (FilteredPageOutput.java:257; test :1039-1081). The raise rides
+        # the error flag, which every row evaluates (the skip filter or
+        # the stop_on_invalid_record wrap below).
+        malformed_err = F.when(
             malformed,
             F.raise_error(
                 F.concat(F.lit("Invalid JSON document: "), F.substring(doc, 1, 128))
-            ).cast("string"),
-        ).otherwise(doc)
-        malformed_err = F.lit(False)
+            ).cast("boolean"),
+        ).otherwise(F.lit(False))
     else:
-        doc_guarded = F.when(malformed, F.lit(None).cast("string")).otherwise(doc)
         malformed_err = malformed
 
-    # single-parse fast path: >=2 *top-level* fields extract through ONE
-    # json_tuple generator (one Jackson parse per row for all of them)
-    # instead of one get_json_object parse per column
+    # extraction happens ONCE per column, as an attribute of a
+    # pre-projection: the cast kernels reference their input many times,
+    # and inlining a get_json_object tree into every reference is what
+    # made plans balloon. >=2 *top-level* fields still share ONE
+    # json_tuple generator (one Jackson parse per row for all of them).
     top_level = [
         i
         for i, cp in enumerate(compiled)
         if len(cp.steps) == 1 and isinstance(cp.steps[0], Field)
     ]
+    prefix = "__ext_"
+    while any(c.startswith(prefix) for c in df.columns):
+        prefix = "_" + prefix  # input shadows the scratch prefix: lengthen
     ext_cols: dict = {}
     jt = None
     if len(top_level) >= 2 and not any(
@@ -477,17 +514,22 @@ def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFra
         names = [compiled[i].steps[0].name for i in top_level]
         renames = {}
         for j, i in enumerate(top_level):
-            renames[f"c{j}"] = f"__ext_{i}"
-            ext_cols[i] = F.col(f"__ext_{i}")
-        jt = (F.json_tuple(doc_guarded, *names), renames)
+            renames[f"c{j}"] = f"{prefix}{i}"
+            ext_cols[i] = F.col(f"{prefix}{i}")
+        jt = (F.json_tuple(doc, *names), renames)
+    pre_cols = []
+    for i, cp in enumerate(compiled):
+        if i in ext_cols:
+            continue
+        pre_cols.append(
+            F.get_json_object(doc, _gjo_path(cp)).alias(f"{prefix}{i}")
+        )
+        ext_cols[i] = F.col(f"{prefix}{i}")
 
     values = {}
     err: Column = malformed_err
     for i, (spec, cp) in enumerate(zip(plan.specs, compiled)):
-        ext = ext_cols.get(i)
-        if ext is None:
-            ext = F.get_json_object(doc_guarded, _gjo_path(cp))
-        val, e = _catalyst_cast(ext, spec, session_tz)
+        val, e = _catalyst_cast(ext_cols[i], spec, session_tz)
         values[spec.name] = val
         err = err | e
 
@@ -506,7 +548,7 @@ def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFra
         else:
             out_cols.append(F.col(f.name))
 
-    bundle = {"jt": jt, "err": err, "out_cols": out_cols}
+    bundle = {"jt": jt, "pre_cols": pre_cols, "err": err, "out_cols": out_cols}
     with _CATALYST_EXPR_CACHE_LOCK:
         _CATALYST_EXPR_CACHE[cache_key] = bundle
         _CATALYST_EXPR_CACHE.move_to_end(cache_key)
@@ -519,6 +561,8 @@ def _apply_catalyst_exprs(df: DataFrame, plan: ExpandPlan, bundle: dict) -> Data
     if bundle["jt"] is not None:
         generator, renames = bundle["jt"]
         df = df.select(F.col("*"), generator).withColumnsRenamed(renames)
+    if bundle["pre_cols"]:
+        df = df.select(F.col("*"), *bundle["pre_cols"])
     if plan.stop_on_invalid_record:
         return df.select(*bundle["out_cols"])
     # invalid-record channel, skip mode: drop the row

@@ -565,7 +565,7 @@ class CdcPipeline:
             return out
 
         typed = (
-            expand_json(good, cfg, mode="auto")
+            expand_json(good, cfg, mode="auto", fan_out=False)
             .select(
                 F.col(self.order),
                 F.col("op"),
@@ -783,7 +783,10 @@ class CdcPipeline:
             observed = changes.observe(obs_in, *in_aggs)
 
         cfg = self._expand_config(extra_cols)
-        expanded = expand_json(observed, cfg, mode="auto")
+        # fan_out=False: the LWW exchange immediately downstream already
+        # redistributes, and repartitioning the raw epoch payload up front
+        # measured as a net loss in the replay loop (~0.3 s/epoch)
+        expanded = expand_json(observed, cfg, mode="auto", fan_out=False)
         # JSON-text tokens -> array<int32>; a non-array here would have
         # already been dropped by the json-cast invalid channel
         typed = expanded.select(

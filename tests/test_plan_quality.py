@@ -60,9 +60,17 @@ def test_catalyst_path_has_no_python(spark):
 
 def test_whole_stage_codegen_covers_expansion(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    plan = plan_of(expand_json(ev, CFG))
+    # fan_out=False isolates the operator's own projection (with the
+    # scale-adaptive fan-out the plan is AQE-wrapped and explain() hides
+    # the codegen '*(n)' markers until the plan is final)
+    plan = plan_of(expand_json(ev, CFG, fan_out=False))
     # executedPlan().toString() marks codegen stages with a '*(n)' prefix
     assert plan.lstrip().startswith("*(")
+    # the default fan-out adds ONLY a round-robin exchange below the same
+    # projection — never a Python node or a key shuffle
+    fanned = plan_of(expand_json(ev, CFG)).lower()
+    assert "mapinpandas" not in fanned
+    assert "hashpartitioning" not in fanned
 
 
 def test_column_pruning_through_expansion(spark):
