@@ -114,6 +114,33 @@ def _guard_offset(off: Column, on_unknown: str, fmt: str) -> Column:
     ).otherwise(off)
 
 
+def _guard_pack_width(pos: Column, width: int, on_unknown: str, fmt: str) -> Column:
+    """In-batch row positions are packed into ``log2(width)`` bits of the
+    synthesized offset; a position at/over the width would silently WRAP
+    (``pmod``) and invert LWW order inside the batch — worse than a
+    collision. Under ``'error'`` a too-wide batch aborts loudly instead
+    (in-range values are returned unchanged, so green paths are
+    byte-identical); ``'drop'``/``'keep'`` retain the documented modulo
+    behavior for operators that accept the bound. The batch-id/xid terms
+    of these packs keep their modulo: those counters grow without bound
+    in normal operation, so a width guard there would abort healthy
+    streams — the wrap hazard for same-millisecond straddling batches is
+    a documented pack limitation, not a per-row-detectable fault."""
+    if on_unknown != "error":
+        return F.pmod(pos, F.lit(width))
+    return F.when(
+        pos >= F.lit(width),
+        F.raise_error(
+            F.lit(
+                f"{fmt} envelope batch has a row position >= {width}: the "
+                "packed offset would wrap and corrupt LWW order — split "
+                "the batch (producer-side) or decode with a coarser epoch "
+                "scheme"
+            )
+        ).cast("long"),
+    ).otherwise(pos)
+
+
 def _with_epoch(
     decoded: DataFrame, epoch_size: Optional[int], epoch_expr: Optional[Column]
 ) -> DataFrame:
@@ -355,7 +382,7 @@ def decode_canal(
         _guard_offset(
             F.col("__es") * F.lit(4194304)
             + F.pmod(F.col("__id"), F.lit(4096)) * F.lit(1024)
-            + F.pmod(F.col("__pos"), F.lit(1024)),
+            + _guard_pack_width(F.col("__pos"), 1024, on_unknown, "canal"),
             on_unknown,
             "canal",
         ).alias("log_offset"),
@@ -464,7 +491,7 @@ def decode_wal2json(
     out = exploded.select(
         _guard_offset(
             F.col("__lsn") * F.lit(1024)
-            + F.pmod(F.col("__pos"), F.lit(1024)),
+            + _guard_pack_width(F.col("__pos"), 1024, on_unknown, "wal2json"),
             on_unknown,
             "wal2json",
         ).alias("log_offset"),

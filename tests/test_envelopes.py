@@ -535,3 +535,30 @@ def test_malformed_envelopes_excluded_not_fatal(spark):
     for policy in ("error", "drop"):
         out = decode_maxwell(mdf, on_unknown=policy).collect()
         assert [(r.op) for r in out] == ["I"], policy
+
+def test_pack_width_overflow_aborts_not_wraps(spark):
+    """A batch with a row position at/over the packed width must abort
+    under 'error' (a silent pmod wrap would INVERT LWW order within the
+    batch); in-range batches are byte-identical to before the guard, and
+    'drop' keeps the documented modulo behavior."""
+    from embulk_filter_expand_json_spark.sources.envelopes import decode_canal
+
+    big = json.dumps({
+        "type": "INSERT", "isDdl": False, "es": 1000, "id": 1,
+        "data": [{"k": i} for i in range(1025)],
+    })
+    df = spark.createDataFrame([Row(value=big)], "value string")
+    with pytest.raises(Exception, match="row position >= 1024"):
+        decode_canal(df).collect()
+    assert decode_canal(df, on_unknown="drop").count() == 1025  # wraps, kept
+
+    ok = json.dumps({
+        "type": "INSERT", "isDdl": False, "es": 1000, "id": 1,
+        "data": [{"k": 1}, {"k": 2}],
+    })
+    out = decode_canal(
+        spark.createDataFrame([Row(value=ok)], "value string")
+    ).orderBy("log_offset").collect()
+    assert [r.log_offset for r in out] == [
+        1000 * 4194304 + 1 * 1024 + 0, 1000 * 4194304 + 1 * 1024 + 1,
+    ]
