@@ -635,6 +635,20 @@ class CdcPipeline:
             applied_log = self._read_changes().filter(
                 F.col("epoch") <= self.last_committed_epoch()
             )
+            # A repaired row must never compete against its OWN logged
+            # copy: when the current classifier config has relaxed since
+            # the row was quarantined (the fix=None since-evolved-schema
+            # retry), the logged bytes re-classify VALID and would
+            # contribute the row's own offset to applied_max — the strict
+            # '>' below would then call the row stale and delete it from
+            # the DLQ without ever applying it. Anti-join the redrive
+            # batch's offsets out of the scan (offsets are the log's
+            # global order key, so this removes exactly those copies).
+            applied_log = applied_log.join(
+                F.broadcast(good.select(self.order).distinct()),
+                on=self.order,
+                how="left_anti",
+            )
             pairs = (
                 flag_invalid_records(applied_log, cfg, mode="auto")
                 .filter(
