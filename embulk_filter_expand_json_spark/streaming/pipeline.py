@@ -73,7 +73,13 @@ def _obs_row(obs) -> dict:
         return obs.get
     except Py4JJavaError as e:
         msg = str(e)
-        if "toPyRow" in msg or "assertion failed" in msg:
+        # BOTH fragments required: the pruned-CollectMetrics state always
+        # surfaces as the scala `assertion failed` thrown THROUGH the
+        # toPyRow call. Either fragment alone is some other JVM failure
+        # (an OOM inside toPyRow, an unrelated assertion) and must
+        # re-raise — reading it as zero counts could let a fail-action
+        # expectation pass on an epoch that violated it (ADVICE r5).
+        if "toPyRow" in msg and "assertion failed" in msg:
             return {}
         raise
 
@@ -615,6 +621,11 @@ class CdcPipeline:
                     keep = k if keep is None else keep & k
             if keep is not None:
                 deduped = deduped.filter(keep)
+                # exact post-drop survivor count (a row violating several
+                # drop-expectations is one drop, so per-expectation sums
+                # cannot substitute): dropped rows report under their own
+                # counter, never as 'stale' (ADVICE r5)
+                out["expectation_dropped"] = out["winners"] - deduped.count()
 
         # the redrive ledger: (key, max redriven offset) per doc, because
         # rows applied by a PREVIOUS redrive exist only as DML in the feed
@@ -682,7 +693,11 @@ class CdcPipeline:
         for _ in range(10):
             cand = build_cand()
             out["applied"] = cand.count()
-            out["stale"] = out["winners"] - out["applied"]
+            out["stale"] = (
+                out["winners"]
+                - out.get("expectation_dropped", 0)
+                - out["applied"]
+            )
             if not out["applied"]:
                 break
             src = cand.withColumn("__del", F.col("op") == "D").drop(

@@ -308,6 +308,9 @@ def test_redrive_applies_expectations(spark, tmp_path):
     res = pipe.requeue_quarantine(FIX_BADTYPE)
     assert res["expectation_tok_pos"] == 1
     assert res["applied"] == 1  # only B survives the drop expectation
+    # the dropped winner reports as a DROP, not as 'stale' (it was never
+    # adjudicated against the applied-offset guard)
+    assert res["expectation_dropped"] == 1 and res["stale"] == 0
     assert {r.doc_id for r in pipe.table.read().collect()} == {"B"}
     assert pipe.quarantine.read().count() == 0  # adjudicated rows leave
 
@@ -349,7 +352,18 @@ def test_obs_row_swallows_only_pruned_metrics_assertion():
             raise self._err
 
     assert _obs_row(_Obs(_Err(
-        "An error occurred while calling z:...PythonSQLUtils.toPyRow."
+        "An error occurred while calling z:...PythonSQLUtils.toPyRow.\n"
+        ": java.lang.AssertionError: assertion failed"
     ))) == {}
+    # either fragment ALONE is some other JVM failure and must re-raise
+    with pytest.raises(Py4JJavaError, match="OutOfMemory"):
+        _obs_row(_Obs(_Err(
+            "An error occurred while calling z:...PythonSQLUtils.toPyRow.\n"
+            ": java.lang.OutOfMemoryError: OutOfMemory"
+        )))
+    with pytest.raises(Py4JJavaError, match="assertion failed"):
+        _obs_row(_Obs(_Err(
+            "java.lang.AssertionError: assertion failed in ShuffleBlock"
+        )))
     with pytest.raises(Py4JJavaError, match="OutOfMemory"):
         _obs_row(_Obs(_Err("java.lang.OutOfMemoryError: OutOfMemory")))
