@@ -18,7 +18,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out_small_scan(df: DataFrame) -> DataFrame:
+def fan_out_small_scan(df: DataFrame, min_bytes: int = 0) -> DataFrame:
+    """``min_bytes``: additionally require the input's estimated size to
+    reach this many bytes before fanning out. Zero (default) fans out on
+    the split count alone — right for operators whose per-row compute
+    dwarfs the shuffle (shingling, K-hash signatures). Callers whose
+    per-row work is light relative to moving the bytes (e.g. the CDC
+    epoch loop) pass a threshold around one split's worth: below it a
+    couple of tasks finish faster than the extra exchange costs; above
+    it the idle cores win. When the optimizer has no size estimate the
+    fan-out is skipped (conservative)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
@@ -27,4 +36,16 @@ def fan_out_small_scan(df: DataFrame) -> DataFrame:
         return df
     if n >= target:
         return df
+    if min_bytes > 0:
+        try:
+            size = int(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        except Exception:  # pragma: no cover — stats unavailable
+            return df
+        if size < min_bytes:
+            return df
     return df.repartition(target)

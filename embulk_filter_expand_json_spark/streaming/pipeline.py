@@ -325,11 +325,23 @@ class CdcPipeline:
     def apply_epoch(self, epoch: int) -> EpochMetrics:
         """Apply one epoch of the bounded change log (partition-pruned).
 
-        No input fan-out here (unlike the text operators): measured at the
-        bench shape, the stage job is bounded by its shuffle/write/commit
-        rounds, not by map-side compute, so repartitioning the pruned
-        slice moved a full copy of the epoch for zero wall-clock gain."""
-        changes = self._read_changes().filter(F.col("epoch") == epoch)
+        BYTES-GATED input fan-out: at small epochs (a split's worth or
+        less) the stage job is bounded by its shuffle/write/commit rounds
+        and repartitioning the pruned slice measured as a net loss
+        (~0.3 s/epoch at 62.5k-row epochs); at larger epochs the pruned
+        read still packs into a couple of splits (many sub-split files
+        per epoch directory) and expansion+LWW map work serializes onto
+        them — measured 5.2-7.3 s of a 6.5-10 s epoch at 625k-row epochs.
+        Fan out only past one split's worth of bytes; at real scale the
+        scan has more splits than cores and this is a structural no-op."""
+        from embulk_filter_expand_json_spark.functions.fanout import (
+            fan_out_small_scan,
+        )
+
+        changes = fan_out_small_scan(
+            self._read_changes().filter(F.col("epoch") == epoch),
+            min_bytes=128 << 20,
+        )
         return self.apply_micro_batch(changes, epoch)
 
     def apply_micro_batch(self, changes: DataFrame, epoch: int) -> EpochMetrics:
