@@ -476,7 +476,17 @@ def _expand_catalyst(df: DataFrame, plan: ExpandPlan, compiled: list) -> DataFra
     # tree (r6 plan audit: planning+codegen of the duplicated trees cost
     # seconds per query while executing them cost ~0.04 s).
     malformed = (
-        doc.isNotNull() & (doc != F.lit("")) & F.get_json_object(doc, "$").isNull()
+        doc.isNotNull() & (doc != F.lit(""))
+        & F.get_json_object(doc, "$").isNull()
+        # pushdown barrier (no-op predicate: partition ids are >= 0).
+        # Without it the NOT-malformed conjunct of the skip filter is
+        # deterministic and gets pushed into the SCAN, re-deriving the
+        # document expression (e.g. a to_json source) multiple times at
+        # input-split parallelism below the fan-out exchange — measured
+        # 15 s of a 27 s 6M-row expansion. spark_partition_id() is marked
+        # non-deterministic, so the probe stays in the filter above the
+        # extraction projection, evaluated once per row.
+        & (F.spark_partition_id() >= F.lit(0))
     )
     if plan.malformed_json_policy == "abort":
         # broken top-level JSON always aborts, like Jayway's
